@@ -1,0 +1,116 @@
+"""Field-of-view observation encoding.
+
+Renders each agent's local 3-channel 11x11 observation window — channel order
+``[obstacle map, goal, other-agent positions]`` — with semantics matching the
+reference's ``AgentState`` (/root/reference/dataloader/statetransformer.py):
+
+- FOV = 9: a 9x9 crop centered on the agent from the global map padded by 4
+  cells of obstacle (out-of-bounds reads as obstacle), then a 1-cell border of
+  zeros -> 11x11 (statetransformer.py:29-31, 97-104).
+- Agent-occupancy channel: every agent marked on the global grid, cropped the
+  same way (zero padding; includes the agent itself at the center)
+  (statetransformer.py:33-45, 100-101).
+- Goal channel: the goal cell if it lies inside the 9x9 FOV; otherwise the
+  goal is *projected* onto the boundary of the 11x11 window along the line of
+  sight (arctan2 octant logic, statetransformer.py:47-66, 107-115). Rounding
+  is round-half-to-even in both numpy and jnp, so projections match exactly.
+
+TPU design: the whole thing is gather/scatter on padded static-shape grids,
+``vmap`` over agents (and again over batch) — no Python per-agent loops. The
+global grids are built once per step; per-agent work is two 9x9 dynamic
+slices plus O(1) goal math.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+FOV = 9                 # reference statetransformer.py:11
+FOV_WIDTH = FOV // 2    # 4
+BORDER = 1
+WINDOW = FOV + 2 * BORDER  # 11
+_DIST = WINDOW // 2     # 5 — reference self.dist
+_CENTER = _DIST         # 5 — reference self.centerX/self.centerY
+
+
+def _embed(crop9: jax.Array) -> jax.Array:
+    """Place a 9x9 crop in the center of an 11x11 zero canvas."""
+    return jnp.pad(crop9, BORDER)
+
+
+def _projected_goal(dx: jax.Array, dy: jax.Array) -> jax.Array:
+    """11x11 one-hot of the out-of-FOV goal projected on the window boundary.
+
+    Mirrors statetransformer.py:47-66. Branch 1 (goal predominantly along y)
+    is taken when the bearing angle lies in [pi/4, 3pi/4] or [-3pi/4, -pi/4],
+    equivalent to ``|dy| >= |dx| and dy != 0``.
+    """
+    dx = dx.astype(jnp.float32)
+    dy = dy.astype(jnp.float32)
+    branch_y = jnp.logical_and(jnp.abs(dy) >= jnp.abs(dx), dy != 0)
+
+    # Guard divisors; the selected branch always has a nonzero divisor.
+    abs_dy = jnp.where(jnp.abs(dy) > 0, jnp.abs(dy), 1.0)
+    abs_dx = jnp.where(jnp.abs(dx) > 0, jnp.abs(dx), 1.0)
+
+    gx_y = (_CENTER + jnp.round(_DIST * dx / abs_dy)).astype(jnp.int32)
+    gy_y = (_DIST * (jnp.sign(dy) + 1)).astype(jnp.int32)
+
+    gx_x = (_DIST * (jnp.sign(dx) + 1)).astype(jnp.int32)
+    gy_x = (_CENTER + jnp.round(_DIST * dy / abs_dx)).astype(jnp.int32)
+
+    gx = jnp.where(branch_y, gx_y, gx_x)
+    gy = jnp.where(branch_y, gy_y, gy_x)
+
+    canvas = jnp.zeros((WINDOW, WINDOW), jnp.float32)
+    return canvas.at[gx, gy].set(1.0)
+
+
+def _render_one(map_pad: jax.Array, occ_pad: jax.Array, pos: jax.Array,
+                goal: jax.Array) -> jax.Array:
+    """Render one agent's [3, 11, 11] observation.
+
+    ``map_pad`` / ``occ_pad`` are the global grids already padded by
+    FOV_WIDTH; ``pos``/``goal`` are int32 [2] global coordinates.
+    """
+    x, y = pos[0], pos[1]
+    crop_map = jax.lax.dynamic_slice(map_pad, (x, y), (FOV, FOV))
+    crop_occ = jax.lax.dynamic_slice(occ_pad, (x, y), (FOV, FOV))
+
+    dx = goal[0] - pos[0]
+    dy = goal[1] - pos[1]
+    in_fov = jnp.logical_and(jnp.abs(dx) <= FOV_WIDTH, jnp.abs(dy) <= FOV_WIDTH)
+
+    # In-FOV goal: one-hot at (dx+5, dy+5) in the 11x11 window (the 9x9 crop
+    # index is dx+4, plus the border offset of 1).
+    gi = jnp.clip(dx + _CENTER, 0, WINDOW - 1)
+    gj = jnp.clip(dy + _CENTER, 0, WINDOW - 1)
+    goal_in = jnp.zeros((WINDOW, WINDOW), jnp.float32).at[gi, gj].set(1.0)
+    goal_out = _projected_goal(dx, dy)
+    channel_goal = jnp.where(in_fov, goal_in, goal_out)
+
+    return jnp.stack([_embed(crop_map), channel_goal, _embed(crop_occ)])
+
+
+def render_fov(grid: jax.Array, pos: jax.Array, goal: jax.Array) -> jax.Array:
+    """Render all agents' observations for one world state.
+
+    Args:
+      grid: global obstacle map ``[W, H]`` (1 = obstacle).
+      pos: agent positions ``[N, 2]`` int32.
+      goal: agent goals ``[N, 2]`` int32.
+
+    Returns:
+      ``[N, 3, 11, 11]`` float32 observations, channels
+      [map, goal, agent positions].
+    """
+    grid = grid.astype(jnp.float32)
+    pos = pos.astype(jnp.int32)
+    goal = goal.astype(jnp.int32)
+
+    map_pad = jnp.pad(grid, FOV_WIDTH, constant_values=1.0)
+    occ = jnp.zeros_like(grid).at[pos[:, 0], pos[:, 1]].set(1.0)
+    occ_pad = jnp.pad(occ, FOV_WIDTH, constant_values=0.0)
+
+    return jax.vmap(_render_one, in_axes=(None, None, 0, 0))(
+        map_pad, occ_pad, pos, goal)

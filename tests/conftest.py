@@ -1,0 +1,29 @@
+"""Test harness configuration.
+
+The environment preloads jax via sitecustomize and registers a tunneled TPU
+("axon") backend with JAX_PLATFORMS=axon. Unit tests must run on a local
+8-device virtual CPU platform instead: deterministic f32 math, no tunneled
+compile latency, and multi-chip sharding paths (shard_map, collectives) get
+exercised without pod hardware. jax is already imported by the time conftest
+runs, but the backend is not yet initialized, so jax.config still applies.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(1337)
