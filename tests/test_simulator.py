@@ -1,0 +1,202 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gnn_pathplanning_tpu.env import (SimCase, collision_shield, rollout,
+                                      rollout_batch, step_state)
+from gnn_pathplanning_tpu.env.simulator import SimState, _init_state
+
+
+KEY = jax.random.PRNGKey(7)
+
+
+def shield(cur, prop, key=KEY):
+    nxt, shielded, unresolved = collision_shield(
+        jnp.array(cur, jnp.int32), jnp.array(prop, jnp.int32), key)
+    return np.asarray(nxt), bool(shielded), bool(unresolved)
+
+
+def test_shield_no_conflict():
+    cur = [[0, 0], [5, 5]]
+    prop = [[0, 1], [5, 6]]
+    nxt, shielded, unresolved = shield(cur, prop)
+    np.testing.assert_array_equal(nxt, prop)
+    assert not shielded and not unresolved
+
+
+def test_shield_swap_conflict():
+    cur = [[0, 0], [0, 1]]
+    prop = [[0, 1], [0, 0]]  # head-on swap
+    nxt, shielded, unresolved = shield(cur, prop)
+    np.testing.assert_array_equal(nxt, cur)
+    assert shielded and not unresolved
+
+
+def test_shield_vertex_two_movers_one_wins():
+    cur = [[0, 0], [0, 2]]
+    prop = [[0, 1], [0, 1]]
+    nxt, shielded, unresolved = shield(cur, prop)
+    moved = [(nxt[i] == [0, 1]).all() for i in range(2)]
+    assert sum(moved) == 1          # exactly one winner
+    assert shielded and not unresolved
+
+
+def test_shield_vertex_with_stopped_agent_stops_all():
+    # Agent 0 is stopped on (0,1); agent 1 tries to enter (0,1).
+    cur = [[0, 1], [0, 3]]
+    prop = [[0, 1], [0, 2]]
+    nxt, shielded, unresolved = shield(cur, prop)
+    # no conflict at all here: prop cells are distinct
+    np.testing.assert_array_equal(nxt, prop)
+    cur = [[0, 1], [0, 3]]
+    prop = [[0, 1], [0, 1]]  # 1 tries to move onto stopped 0
+    nxt, shielded, unresolved = shield(cur, prop)
+    np.testing.assert_array_equal(nxt, cur)
+    assert shielded and not unresolved
+
+
+def test_shield_stop_propagates_down_chain():
+    # 0 stopped; 1 follows into 0's cell; 2 follows into 1's cell.
+    cur = [[0, 0], [0, 1], [0, 2]]
+    prop = [[0, 0], [0, 0], [0, 1]]
+    nxt, shielded, unresolved = shield(cur, prop)
+    np.testing.assert_array_equal(nxt, cur)
+    assert shielded and not unresolved
+
+
+def test_shield_rotating_cycle_resolves():
+    # 3-cycle rotation: each moves into next's current cell; no vertex or
+    # swap pair conflicts — rotation is actually collision-free and allowed
+    # (matches reference: no vertex duplicate, no pairwise swap).
+    cur = [[0, 0], [0, 1], [1, 1]]
+    prop = [[0, 1], [1, 1], [0, 0]]
+    nxt, shielded, unresolved = shield(cur, prop)
+    np.testing.assert_array_equal(nxt, prop)
+    assert not shielded and not unresolved
+
+
+def _case(grid, starts, goals, mp=5, ft=10):
+    return SimCase(grid=jnp.array(grid, jnp.float32),
+                   starts=jnp.array(starts, jnp.int32),
+                   goals=jnp.array(goals, jnp.int32),
+                   target_makespan=jnp.asarray(mp, jnp.int32),
+                   target_flowtime=jnp.asarray(ft, jnp.int32))
+
+
+def _logits(actions, n=None):
+    a = np.asarray(actions)
+    out = np.zeros((len(a), 5), np.float32)
+    out[np.arange(len(a)), a] = 10.0
+    return jnp.array(out)
+
+
+def test_step_blocks_obstacle_and_edge():
+    grid = np.zeros((4, 4), np.float32)
+    grid[1, 2] = 1.0
+    case = _case(grid, [[1, 1], [0, 0]], [[3, 3], [3, 0]])
+    st = _init_state(case)
+    # agent0 right into obstacle; agent1 up off the map
+    st2 = step_state(st, _logits([3, 0]), case, jnp.asarray(10), KEY)
+    np.testing.assert_array_equal(np.asarray(st2.pos), [[1, 1], [0, 0]])
+    assert bool(st2.predict_collision)
+    # blocked moves still count as "started moving" (non-stop action)
+    np.testing.assert_array_equal(np.asarray(st2.start_step), [0, 0])
+
+
+def test_step_start_step_unset_until_first_move():
+    grid = np.zeros((4, 4), np.float32)
+    case = _case(grid, [[0, 0], [3, 3]], [[0, 3], [3, 0]])
+    st = _init_state(case)
+    st = step_state(st, _logits([4, 4]), case, jnp.asarray(10), KEY)  # both stop
+    np.testing.assert_array_equal(np.asarray(st.start_step), [-1, -1])
+    st = step_state(st, _logits([3, 1]), case, jnp.asarray(10), KEY)
+    np.testing.assert_array_equal(np.asarray(st.start_step), [1, 1])
+
+
+def _greedy_policy(obs, gso):
+    """Move toward the goal marker in the FOV window: x first, then y."""
+    goal_ch = obs[..., 1, :, :]                       # [B, N, 11, 11]
+    flat = goal_ch.reshape(*goal_ch.shape[:-2], 121)
+    idx = jnp.argmax(flat, axis=-1)
+    gi = idx // 11 - 5
+    gj = idx % 11 - 5
+    # prefer x-axis moves; 0=up(-x) 2=down(+x) 1=left(-y) 3=right(+y) 4=stop
+    act = jnp.where(gi < 0, 0,
+          jnp.where(gi > 0, 2,
+          jnp.where(gj < 0, 1,
+          jnp.where(gj > 0, 3, 4))))
+    return jax.nn.one_hot(act, 5) * 10.0
+
+
+def test_rollout_single_agent_reaches_goal():
+    grid = np.zeros((8, 8), np.float32)
+    case = _case(grid, [[0, 0]], [[3, 2]], mp=5, ft=5)
+    out = rollout(_greedy_policy, case, max_steps=10, comm_radius=6.0, key=KEY)
+    m = out.metrics
+    assert bool(m.all_reached) and bool(m.success)
+    assert int(m.num_agents_reached) == 1
+    # Manhattan distance 5, moving every step from t=0: makespan == 5
+    assert int(m.makespan_predict) == 5
+    assert int(m.flowtime_predict) == 5
+    assert not bool(m.predict_collision)
+
+
+def test_rollout_two_agents_cross_shielded():
+    grid = np.zeros((8, 8), np.float32)
+    # Both want to traverse the same column in opposite directions.
+    case = _case(grid, [[0, 0], [4, 0]], [[4, 0], [0, 0]], mp=8, ft=16)
+    out = rollout(_greedy_policy, case, max_steps=24, comm_radius=6.0, key=KEY)
+    m = out.metrics
+    # Head-on swap on a single column can never pass: shielding must fire and
+    # the case must NOT end in an actual collision.
+    assert bool(m.predict_collision)
+    assert not bool(m.move_collision)
+    assert not bool(m.all_reached)   # deadlock -> timeout (greedy can't sidestep)
+    assert bool(m.no_reach_by_shielding)
+
+
+def test_rollout_timeout_metrics():
+    grid = np.zeros((6, 6), np.float32)
+    case = _case(grid, [[0, 0]], [[5, 5]], mp=1, ft=1)  # maxstep = 2: too short
+    out = rollout(_greedy_policy, case, max_steps=4, comm_radius=6.0, key=KEY)
+    m = out.metrics
+    assert not bool(m.all_reached)
+    assert int(m.steps) == 2                  # rate_maxstep * mp
+    assert int(m.makespan_predict) == 2       # end=maxstep, start=0
+    assert int(m.num_agents_reached) == 0
+
+
+def test_rollout_batch_shapes_and_paths():
+    grid = np.zeros((8, 8), np.float32)
+    cases = SimCase(
+        grid=jnp.stack([jnp.array(grid)] * 3),
+        starts=jnp.array([[[0, 0], [7, 7]], [[1, 1], [6, 6]], [[2, 2], [5, 5]]], jnp.int32),
+        goals=jnp.array([[[0, 3], [7, 4]], [[1, 4], [6, 3]], [[2, 5], [5, 2]]], jnp.int32),
+        target_makespan=jnp.array([3, 3, 3], jnp.int32),
+        target_flowtime=jnp.array([6, 6, 6], jnp.int32))
+    out = rollout_batch(_greedy_policy, cases, max_steps=6, comm_radius=6.0,
+                        key=KEY, record_paths=True)
+    assert out.metrics.all_reached.shape == (3,)
+    assert np.asarray(out.metrics.all_reached).all()
+    assert out.paths.shape == (3, 7, 2, 2)
+    # paths start at starts and end at goals
+    np.testing.assert_array_equal(np.asarray(out.paths[:, 0]), np.asarray(cases.starts))
+    np.testing.assert_array_equal(np.asarray(out.final_pos), np.asarray(cases.goals))
+
+
+def test_rollout_agents_can_leave_goal_but_stay_latched():
+    """Reference latches reached; agents may wander off the goal afterwards."""
+    grid = np.zeros((6, 6), np.float32)
+
+    def restless_policy(obs, gso):
+        # always move right
+        b, n = obs.shape[:2]
+        return jnp.tile(jax.nn.one_hot(3, 5) * 10.0, (b, n, 1))
+
+    case = _case(grid, [[0, 0]], [[0, 1]], mp=4, ft=4)
+    out = rollout(restless_policy, case, max_steps=8, comm_radius=6.0, key=KEY)
+    m = out.metrics
+    assert bool(m.all_reached)          # latched at step 1
+    assert int(m.num_agents_reached) == 1
+    # done latched at step 1 -> rollout stops stepping
+    assert int(m.steps) == 1
