@@ -1,0 +1,136 @@
+"""In-memory MAPF dataset with device-side rendering.
+
+Capability parity with the reference dataloader
+(/root/reference/dataloader/Dataloader_dcplocal_notTF_onlineExpert.py),
+re-designed for TPU:
+
+- The reference expands each case into per-timestep ``.mat`` reads through 4
+  torch DataLoader workers, shipping pre-rendered [N,3,11,11] tensors + dense
+  GSOs to the device every batch. Here all cases load once into padded host
+  arrays; a training batch is a cheap integer gather of
+  (map, goals, pos_t, action_t, radius) and the FOV/GSO render happens on
+  device inside the jitted train step (see ops.fov / ops.gso).
+- Step expansion semantics match ``search_target_files_withStep`` (:223-239):
+  every case contributes ``makespan`` samples (steps 0..T-1).
+- The online-expert merge hook matches ``update_data_path_trainingset``
+  (:115-130): extra directories of failure-case records are appended to the
+  training pool on (re)load.
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Iterator, Sequence
+
+import numpy as np
+
+from .transform import CaseRecord, load_record, load_reference_mat
+
+
+@dataclasses.dataclass
+class Batch:
+    """One training batch (host arrays; device renders obs/GSO)."""
+    grids: np.ndarray     # [B, W, H] float32
+    goals: np.ndarray     # [B, N, 2] int32
+    pos: np.ndarray       # [B, N, 2] int32
+    actions: np.ndarray   # [B, N] int32 — target action indices
+    radius: np.ndarray    # [B] float32
+
+
+class CaseDataset:
+    """A split's cases in padded arrays + a flat (case, step) sample index."""
+
+    def __init__(self, records: Sequence[CaseRecord]):
+        if not records:
+            raise ValueError("empty dataset")
+        self.records = list(records)
+        n = records[0].num_agents
+        w, h = records[0].grid.shape
+        c = len(records)
+        t_max = max(r.makespan for r in records)
+        self.num_agents = n
+        self.map_shape = (w, h)
+        self.t_max = t_max
+
+        self.grids = np.zeros((c, w, h), np.float32)
+        self.goals = np.zeros((c, n, 2), np.int32)
+        self.states = np.zeros((c, t_max + 1, n, 2), np.int32)
+        self.actions = np.full((c, t_max, n), 4, np.int32)  # pad with stop
+        self.radius = np.zeros((c,), np.float32)
+        self.makespans = np.zeros((c,), np.int32)
+        self.target_makespan = np.zeros((c,), np.int32)
+        self.target_flowtime = np.zeros((c,), np.int32)
+
+        sample_case, sample_step = [], []
+        for i, r in enumerate(records):
+            t = r.makespan
+            self.grids[i] = r.grid
+            self.goals[i] = r.goals
+            self.states[i, :t + 1] = r.states
+            self.states[i, t + 1:] = r.states[-1]
+            self.actions[i, :t] = r.actions
+            self.radius[i] = r.radius
+            self.makespans[i] = t
+            self.target_makespan[i] = r.target_makespan
+            self.target_flowtime[i] = r.target_flowtime
+            sample_case.extend([i] * t)
+            sample_step.extend(range(t))
+        self.sample_case = np.array(sample_case, np.int32)
+        self.sample_step = np.array(sample_step, np.int32)
+
+    @property
+    def num_cases(self) -> int:
+        return len(self.records)
+
+    @property
+    def num_samples(self) -> int:
+        return len(self.sample_case)
+
+    def gather(self, case_idx: np.ndarray, step_idx: np.ndarray) -> Batch:
+        return Batch(
+            grids=self.grids[case_idx],
+            goals=self.goals[case_idx],
+            pos=self.states[case_idx, step_idx],
+            actions=self.actions[case_idx, step_idx],
+            radius=self.radius[case_idx])
+
+    def batches(self, batch_size: int, rng: np.random.RandomState,
+                drop_last: bool = True) -> Iterator[Batch]:
+        """Shuffled step-level batches for one epoch."""
+        order = rng.permutation(self.num_samples)
+        end = self.num_samples - (self.num_samples % batch_size
+                                  if drop_last else 0)
+        for i in range(0, end, batch_size):
+            idx = order[i:i + batch_size]
+            if drop_last and len(idx) < batch_size:
+                break
+            yield self.gather(self.sample_case[idx], self.sample_step[idx])
+
+    def sim_cases(self, limit: int | None = None):
+        """Case-level arrays for closed-loop evaluation (SimCase fields)."""
+        c = self.num_cases if limit is None else min(limit, self.num_cases)
+        return dict(
+            grid=self.grids[:c], starts=self.states[:c, 0],
+            goals=self.goals[:c], target_makespan=self.target_makespan[:c],
+            target_flowtime=self.target_flowtime[:c])
+
+
+def _scan_dir(path: Path, exts=(".npz", ".mat")) -> list[Path]:
+    return sorted(p for p in path.rglob("*") if p.suffix in exts)
+
+
+def load_split(dir_path: str | Path, limit: int | None = None,
+               extra_dirs: Sequence[str | Path] = ()) -> CaseDataset:
+    """Load every record under ``dir_path`` (plus online-expert extras)."""
+    files: list[Path] = _scan_dir(Path(dir_path))
+    for extra in extra_dirs:
+        p = Path(extra)
+        if p.is_dir():
+            files += _scan_dir(p)
+    if limit is not None:
+        files = files[:limit]
+    records = []
+    for f in files:
+        records.append(load_record(f) if f.suffix == ".npz"
+                       else load_reference_mat(f))
+    return CaseDataset(records)

@@ -1,0 +1,157 @@
+"""Drivers for the native C++ MAPF expert solvers.
+
+The reference shells out to prebuilt binaries over YAML files
+(/root/reference/offlineExpert/CasesSolver.py:500-547 with 300 s SIGALRM
+timeouts; onlineExpert/ECBS_onlineExpert.py:93-100 with 60 s). This module
+keeps the same subprocess/YAML contract against our own solvers in
+native/src, building them on demand, and offers a process-pool batch API for
+dataset generation.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import subprocess
+import tempfile
+from concurrent.futures import ProcessPoolExecutor
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+
+ALGOS = ("ecbs", "cbs", "prioritized", "sipp")
+_BINARY_NAME = {"ecbs": "ecbs", "cbs": "cbs",
+                "prioritized": "mapf_prioritized_sipp", "sipp": "sipp"}
+
+
+@dataclasses.dataclass
+class SolverResult:
+    ok: bool
+    paths: list[np.ndarray] | None = None  # per agent [T_i, 2] int
+    cost: int = 0
+    makespan: int = 0
+
+    def schedule_array(self) -> np.ndarray:
+        """Dense [T+1, N, 2] positions (agents park at goal)."""
+        t_max = max(len(p) for p in self.paths)
+        n = len(self.paths)
+        out = np.zeros((t_max, n, 2), np.int32)
+        for i, p in enumerate(self.paths):
+            out[:len(p), i] = p
+            out[len(p):, i] = p[-1]
+        return out
+
+
+def ensure_built() -> Path:
+    """Build the native solvers if needed; return the bin directory."""
+    bin_dir = _NATIVE_DIR / "bin"
+    if not (bin_dir / "solver").exists():
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                       capture_output=True)
+    return bin_dir
+
+
+def write_case_yaml(path: str | os.PathLike, grid: np.ndarray,
+                    starts: np.ndarray, goals: np.ndarray) -> None:
+    """Write the input-YAML contract (CasesGenerator.py:267-280 format)."""
+    grid = np.asarray(grid)
+    with open(path, "w") as f:
+        f.write("map:\n")
+        f.write("    dimensions: [{}, {}]\n".format(*grid.shape))
+        f.write("    obstacles:\n")
+        for x, y in np.argwhere(grid > 0):
+            f.write(f"    - [{x}, {y}]\n")
+        f.write("agents:\n")
+        for i, (s, g) in enumerate(zip(starts, goals)):
+            f.write(f"  - name: agent{i}\n"
+                    f"    start: [{int(s[0])}, {int(s[1])}]\n"
+                    f"    goal: [{int(g[0])}, {int(g[1])}]\n")
+
+
+def parse_solution_yaml(path: str | os.PathLike) -> SolverResult:
+    """Parse the output-YAML contract (statistics + schedule).
+
+    Hand-rolled line parser — the schema is fixed and this avoids a yaml
+    dependency in the hot data-generation path.
+    """
+    cost = makespan = 0
+    agents: dict[str, list[tuple[int, int, int]]] = {}
+    current: list[tuple[int, int, int]] | None = None
+    x = y = t = None
+    with open(path) as f:
+        for line in f:
+            ls = line.strip()
+            if ls.startswith("cost:"):
+                cost = int(float(ls.split(":")[1]))
+            elif ls.startswith("makespan:"):
+                makespan = int(float(ls.split(":")[1]))
+            elif ls.endswith(":") and not ls.startswith(("statistics", "schedule", "-")):
+                current = agents.setdefault(ls[:-1], [])
+            elif ls.startswith("- x:"):
+                x = int(float(ls.split(":")[1]))
+            elif ls.startswith("y:"):
+                y = int(float(ls.split(":")[1]))
+            elif ls.startswith("t:"):
+                t = int(float(ls.split(":")[1]))
+                if current is not None:
+                    current.append((t, x, y))
+    names = sorted(agents, key=lambda s: int("".join(c for c in s if c.isdigit()) or 0))
+    paths = []
+    for name in names:
+        steps = sorted(agents[name])
+        paths.append(np.array([[sx, sy] for _, sx, sy in steps], np.int32))
+    return SolverResult(ok=True, paths=paths, cost=cost, makespan=makespan)
+
+
+def solve_case(grid: np.ndarray, starts: np.ndarray, goals: np.ndarray,
+               algo: str = "ecbs", w: float = 1.1,
+               timeout: float = 300.0) -> SolverResult:
+    """Solve one MAPF instance with the native solver; SolverResult(ok=False)
+    on timeout or planning failure (matching the reference's silent-skip
+    semantics, ECBS_onlineExpert.py:103-104)."""
+    assert algo in ALGOS, algo
+    bin_dir = ensure_built()
+    with tempfile.TemporaryDirectory() as td:
+        inp = os.path.join(td, "in.yaml")
+        out = os.path.join(td, "out.yaml")
+        write_case_yaml(inp, grid, starts, goals)
+        cmd = [str(bin_dir / _BINARY_NAME[algo]), "-i", inp, "-o", out]
+        if algo == "ecbs":
+            cmd += ["-w", str(w)]
+        try:
+            proc = subprocess.run(cmd, capture_output=True, timeout=timeout)
+        except subprocess.TimeoutExpired:
+            return SolverResult(ok=False)
+        if proc.returncode != 0 or not os.path.exists(out):
+            return SolverResult(ok=False)
+        return parse_solution_yaml(out)
+
+
+def _solve_one(args):
+    grid, starts, goals, algo, w, timeout = args
+    return solve_case(grid, starts, goals, algo, w, timeout)
+
+
+class ExpertSolver:
+    """Process-pool batch solver (the reference uses fixed pools of 4
+    multiprocessing workers — CasesSolver.py:473-483)."""
+
+    def __init__(self, algo: str = "ecbs", w: float = 1.1,
+                 timeout: float = 300.0, workers: int = 4):
+        self.algo = algo
+        self.w = w
+        self.timeout = timeout
+        self.workers = workers
+        ensure_built()
+
+    def solve_batch(self, grids: Sequence[np.ndarray],
+                    starts: Sequence[np.ndarray],
+                    goals: Sequence[np.ndarray]) -> list[SolverResult]:
+        jobs = [(g, s, gl, self.algo, self.w, self.timeout)
+                for g, s, gl in zip(grids, starts, goals)]
+        if self.workers <= 1:
+            return [_solve_one(j) for j in jobs]
+        with ProcessPoolExecutor(max_workers=self.workers) as pool:
+            return list(pool.map(_solve_one, jobs))

@@ -1,0 +1,128 @@
+"""End-to-end data pipeline tests: mapgen -> expert -> records -> dataset."""
+import numpy as np
+import pytest
+
+from gnn_pathplanning_tpu.data import (
+    CaseDataset, generate_case_pool, generate_dataset, load_record,
+    load_split, record_from_solution, save_record, solve_case,
+)
+from gnn_pathplanning_tpu.data.mapgen import fill_unreachable, generate_map
+from gnn_pathplanning_tpu.data.transform import (actions_from_states,
+                                                 replay_targets,
+                                                 trajectory_radius)
+
+DELTAS = np.array([[-1, 0], [0, -1], [1, 0], [0, 1], [0, 0]])
+
+
+def test_generate_map_connected_free_space(rng):
+    for _ in range(5):
+        grid = generate_map(16, 16, complexity=0.02, density=0.3, rng=rng)
+        # Every free cell must be reachable from every other: re-filling
+        # changes nothing.
+        np.testing.assert_array_equal(fill_unreachable(grid), grid)
+        assert 0 < grid.sum() < grid.size
+
+
+def test_actions_roundtrip(rng):
+    # random unit-step walk
+    t, n = 12, 5
+    states = np.zeros((t + 1, n, 2), np.int32)
+    states[0] = rng.randint(5, 15, size=(n, 2))
+    acts = rng.randint(0, 5, size=(t, n))
+    for i in range(t):
+        states[i + 1] = states[i] + DELTAS[acts[i]]
+    got = actions_from_states(states)
+    np.testing.assert_array_equal(got, acts)
+
+
+def test_replay_targets_semantics():
+    # agent0 moves at steps 0-2 and arrives; agent1 waits 2 steps, moves 1.
+    states = np.array([
+        [[0, 0], [5, 5]],
+        [[0, 1], [5, 5]],
+        [[0, 2], [5, 5]],
+        [[0, 3], [5, 6]],
+    ], np.int32)
+    goals = np.array([[0, 3], [5, 6]])
+    actions = actions_from_states(states)
+    mp, ft = replay_targets(states, actions, goals)
+    # agent0: start 0, end 3; agent1: start 2, end 3
+    assert ft == 3 + 1
+    assert mp == 3 - 0
+
+
+def test_trajectory_radius_grows_until_all_steps_connected():
+    states = np.array([
+        [[0, 0], [0, 3]],     # connected at r=6
+        [[0, 0], [0, 9]],     # needs r > 9
+    ], np.float32)
+    r = trajectory_radius(states, 6.0)
+    assert r > 9.0
+    ladder = 6.0 * 1.1 ** np.arange(30)
+    assert np.min(np.abs(ladder - r)) < 1e-6
+
+
+def test_record_roundtrip(tmp_path, rng):
+    grid = generate_map(10, 10, rng=rng)
+    pool = generate_case_pool(1, 1, 10, 10, 3, seed=5)
+    res = solve_case(pool.grids[0], pool.starts[0], pool.goals[0],
+                     algo="ecbs", timeout=60)
+    assert res.ok
+    rec = record_from_solution(pool.grids[0], pool.goals[0],
+                               res.schedule_array())
+    p = tmp_path / "case_MP{}.npz".format(rec.makespan)
+    save_record(p, rec)
+    rec2 = load_record(p)
+    np.testing.assert_array_equal(rec.states, rec2.states)
+    np.testing.assert_array_equal(rec.actions, rec2.actions)
+    assert rec.radius == rec2.radius
+    assert rec.target_makespan == rec2.target_makespan
+
+
+def test_generate_dataset_and_load(tmp_path):
+    counts = generate_dataset(tmp_path, map_w=10, map_h=10, num_agents=3,
+                              splits={"train": (2, 3), "valid": (1, 2)},
+                              workers=1, seed=11)
+    assert counts["train"] > 0 and counts["valid"] > 0
+    root = tmp_path / "map10x10_density_p1" / "3_Agent"
+    ds = load_split(root / "train")
+    assert ds.num_agents == 3
+    assert ds.num_samples == int(ds.makespans.sum())
+
+    batch = next(ds.batches(4, np.random.RandomState(0), drop_last=False))
+    assert batch.grids.shape[1:] == (10, 10)
+    assert batch.goals.shape[1:] == (3, 2)
+    assert batch.pos.shape[1:] == (3, 2)
+    assert batch.actions.shape[1:] == (3,)
+    assert (batch.actions >= 0).all() and (batch.actions <= 4).all()
+
+    sim = ds.sim_cases(limit=2)
+    assert sim["grid"].shape == (2, 10, 10)
+    assert (sim["target_makespan"] > 0).all()
+
+
+def test_reference_mat_compat(tmp_path, rng):
+    """Round-trip through the reference .mat schema."""
+    import scipy.io as sio
+    t, n = 6, 3
+    states = np.zeros((t + 1, n, 2), np.int32)
+    states[0] = np.array([[0, 0], [3, 3], [5, 1]])
+    acts = rng.randint(0, 5, size=(t, n))
+    for i in range(t):
+        nxt = states[i] + DELTAS[acts[i]]
+        nxt = np.clip(nxt, 0, 7)
+        states[i + 1] = nxt
+    grid = np.zeros((8, 8), np.int64)
+    goals = states[-1]
+    onehot = np.zeros((t, n, 5))
+    real_acts = actions_from_states(states)
+    for i in range(t):
+        onehot[i, np.arange(n), real_acts[i]] = 1
+    p = tmp_path / "train_IDMap0_IDCase0_MP{}.mat".format(t)
+    sio.savemat(p, {"map": grid, "goal": goals, "inputState": states,
+                    "target": onehot, "makespan": t, "GSO": np.zeros((t, n, n))})
+    from gnn_pathplanning_tpu.data import load_reference_mat
+    rec = load_reference_mat(p)
+    np.testing.assert_array_equal(rec.states, states)
+    np.testing.assert_array_equal(rec.actions, real_acts)
+    assert rec.makespan == t

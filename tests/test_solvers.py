@@ -1,0 +1,108 @@
+"""Validity and optimality tests for the native C++ MAPF solvers."""
+import numpy as np
+import pytest
+
+from gnn_pathplanning_tpu.data import generate_map, random_start_goal_pairs, solve_case
+from gnn_pathplanning_tpu.data.solvers import ensure_built
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built():
+    ensure_built()
+
+
+def assert_valid(res, grid, starts, goals):
+    assert res.ok
+    n = len(starts)
+    assert len(res.paths) == n
+    for i in range(n):
+        p = res.paths[i]
+        np.testing.assert_array_equal(p[0], starts[i])
+        np.testing.assert_array_equal(p[-1], goals[i])
+        steps = np.abs(np.diff(p, axis=0)).sum(-1)
+        assert (steps <= 1).all(), "non-unit move"
+        assert (grid[p[:, 0], p[:, 1]] == 0).all(), "path crosses obstacle"
+    # vertex & swap conflicts over the parked schedule
+    sched = res.schedule_array()
+    t_max = sched.shape[0]
+    for t in range(t_max):
+        cells = {tuple(c) for c in sched[t]}
+        assert len(cells) == n, f"vertex conflict at t={t}"
+        if t + 1 < t_max:
+            for i in range(n):
+                for j in range(i + 1, n):
+                    assert not ((sched[t, i] == sched[t + 1, j]).all()
+                                and (sched[t, j] == sched[t + 1, i]).all()), \
+                        f"swap conflict {i},{j} at t={t}"
+
+
+def _random_case(rng, n_agents=4, w=10, h=10):
+    grid = generate_map(w, h, complexity=0.01, density=0.2, rng=rng)
+    sg = random_start_goal_pairs(grid, n_agents, rng)
+    assert sg is not None
+    return grid, sg[0], sg[1]
+
+
+@pytest.mark.parametrize("algo", ["ecbs", "cbs", "prioritized"])
+def test_solvers_valid_on_random_cases(algo, rng):
+    for _ in range(4):
+        grid, starts, goals = _random_case(rng)
+        res = solve_case(grid, starts, goals, algo=algo, timeout=60)
+        assert_valid(res, grid, starts, goals)
+
+
+def test_ecbs_within_suboptimality_bound(rng):
+    for _ in range(4):
+        grid, starts, goals = _random_case(rng, n_agents=3, w=8, h=8)
+        opt = solve_case(grid, starts, goals, algo="cbs", timeout=60)
+        sub = solve_case(grid, starts, goals, algo="ecbs", w=1.1, timeout=60)
+        assert opt.ok and sub.ok
+        assert opt.cost <= sub.cost <= int(np.ceil(1.1 * opt.cost))
+
+
+def test_cbs_optimal_simple_corridor():
+    # Two agents must pass through a 1-wide corridor in opposite directions;
+    # one must detour through the passing bay. Optimal cost is known.
+    #   row0: . . . . .
+    #   row1: # # . # #   (bay at [1,2])
+    grid = np.zeros((2, 5), np.int64)
+    grid[1] = [1, 1, 0, 1, 1]
+    starts = np.array([[0, 0], [0, 4]])
+    goals = np.array([[0, 4], [0, 0]])
+    res = solve_case(grid, starts, goals, algo="cbs", timeout=60)
+    assert_valid(res, grid, starts, goals)
+    # One agent detours through the bay (4 moves + 2), the other must wait one
+    # step for the bay maneuver: 5 + 6 = 11 total (verified by hand — the
+    # no-wait crossing always produces a vertex or swap conflict at [0,2]).
+    assert res.cost == 11
+
+
+def test_swap_requires_coordination():
+    # Straight corridor with a side pocket; head-on agents must coordinate.
+    grid = np.zeros((3, 3), np.int64)
+    grid[0] = [0, 0, 0]
+    grid[1] = [1, 0, 1]
+    grid[2] = [1, 1, 1]
+    starts = np.array([[0, 0], [0, 2]])
+    goals = np.array([[0, 2], [0, 0]])
+    res = solve_case(grid, starts, goals, algo="ecbs", timeout=60)
+    assert_valid(res, grid, starts, goals)
+
+
+def test_single_agent_sipp():
+    grid = np.zeros((6, 6), np.int64)
+    grid[2, :5] = 1
+    starts = np.array([[0, 0]])
+    goals = np.array([[5, 0]])
+    res = solve_case(grid, starts, goals, algo="sipp", timeout=60)
+    assert_valid(res, grid, starts, goals)
+    assert res.makespan == 15  # around the wall: 5 right + 5 down + 5 left
+
+
+def test_infeasible_case_fails_cleanly():
+    grid = np.zeros((3, 3), np.int64)
+    grid[1] = 1  # wall splits the map
+    starts = np.array([[0, 0]])
+    goals = np.array([[2, 2]])
+    res = solve_case(grid, starts, goals, algo="cbs", timeout=10)
+    assert not res.ok
