@@ -1,0 +1,87 @@
+"""Rollout performance recording.
+
+Capability parity with the reference ``MonitoringMultiAgentPerformance``
+(/root/reference/utils/metrics.py): same metric definitions —
+rate_ReachGoal (all agents at goal, collision-free), rate_FailedReachGoalSH
+(blocked only by collision shielding), optimal-solution rate, collision
+rates, mean/std of |ΔMP|/MP_target and |ΔFT|/FT_target (sample std, ddof=1)
+— plus the per-agent-count reach histogram of ``test_summary`` (:204-288).
+Persistence is JSONL (one summary record per call) instead of TensorBoard +
+``.mat`` archives; the record carries the same keys as the reference's
+``save_statistics`` dict so downstream analysis maps 1:1.
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+class PerformanceRecorder:
+    def __init__(self, num_agents: int):
+        self.num_agents = num_agents
+        self.reset()
+
+    def reset(self):
+        self._rows = []
+
+    def update_from_rollout(self, metrics) -> None:
+        """Ingest batched RolloutMetrics (env.simulator) — any leading shape."""
+        as_np = {k: np.asarray(v).reshape(-1) for k, v in metrics._asdict().items()}
+        n = len(as_np["all_reached"])
+        for i in range(n):
+            self._rows.append({k: v[i] for k, v in as_np.items()})
+
+    def _col(self, key):
+        return np.array([r[key] for r in self._rows])
+
+    def summary(self) -> dict:
+        count = len(self._rows)
+        if count == 0:
+            return {"num_validset": 0}
+        reach = self._col("all_reached").astype(bool)
+        success = self._col("success").astype(bool)
+        no_reach_sh = self._col("no_reach_by_shielding").astype(bool)
+        mp_p = self._col("makespan_predict").astype(np.float64)
+        mp_t = np.maximum(self._col("makespan_target").astype(np.float64), 1e-9)
+        ft_p = self._col("flowtime_predict").astype(np.float64)
+        ft_t = np.maximum(self._col("flowtime_target").astype(np.float64), 1e-9)
+        d_mp = np.abs(mp_p - mp_t) / mp_t
+        d_ft = np.abs(ft_p - ft_t) / ft_t
+        optimal = (mp_p <= mp_t) & (ft_p <= ft_t) & success
+        n_reached = self._col("num_agents_reached").astype(int)
+        hist = [int((n_reached == i).sum()) for i in range(self.num_agents + 1)]
+        std = lambda x: float(np.std(x, ddof=1)) if count > 1 else 0.0
+        return {
+            "num_validset": count,
+            "rate_ReachGoal": float(success.mean()),
+            "num_ReachGoal": int(success.sum()),
+            "rate_notReachGoalSH": float(no_reach_sh.mean()),
+            "num_notReachGoalSH": int(no_reach_sh.sum()),
+            "rate_FindOptimalSolution": float(optimal.mean()),
+            "rate_CollisionPredictedinLoop": float(
+                self._col("predict_collision").astype(bool).mean()),
+            "rate_CollisionMove": float(
+                self._col("move_collision").astype(bool).mean()),
+            "mean_deltaMP": float(d_mp.mean()),
+            "std_deltaMP": std(d_mp),
+            "mean_deltaFT": float(d_ft.mean()),
+            "std_deltaFT": std(d_ft),
+            "hist_numAgentReachGoal": hist,
+            "list_reachGoal": reach.astype(int).tolist(),
+        }
+
+
+class MetricsLogger:
+    """Append-only JSONL metrics stream (training loss, epoch summaries)."""
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+
+    def log(self, kind: str, step: int, **values) -> None:
+        rec = {"kind": kind, "step": int(step), "time": time.time(), **values}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec, default=float) + "\n")

@@ -1,0 +1,251 @@
+"""Imitation-learning trainer for the DCP policy.
+
+Capability parity with the reference agent
+(/root/reference/agents/decentralplannerlocal.py), re-designed for TPU:
+
+- one jitted train step over [B, N, ...]: FOV render + GSO build happen on
+  device (the reference ships pre-rendered tensors from 4 dataloader
+  workers), then CNN/GNN forward, cross-entropy averaged over agents
+  (:305-312 semantics: sum of per-agent batch-mean CE / N == mean over B*N),
+  Adam(lr 1e-3, weight_decay 1e-5 — torch-style L2-into-gradient) update.
+- CosineAnnealingLR stepped per epoch, eta_min 1e-6 (:58-61).
+- validation-by-rollout cadence (`validate_every`, plus every epoch for the
+  first 4 when N < 10) and model_best selection on rate_ReachGoal
+  (:249-273).
+- checkpoint latest/best/numbered semantics via train.checkpoint.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from functools import partial
+from pathlib import Path
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.dataset import Batch, CaseDataset
+from ..env.simulator import SimCase, rollout_batch
+from ..models.dcp import DCPConfig, DCPNet
+from ..ops.fov import render_fov
+from ..ops.gso import adjacency_from_positions, normalize_adjacency
+from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .metrics import MetricsLogger, PerformanceRecorder
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    params: dict
+    batch_stats: dict
+    opt_state: optax.OptState
+    step: jax.Array
+    epoch: jax.Array
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    learning_rate: float = 1e-3
+    eta_min: float = 1e-6           # cosine floor (reference :58-61)
+    weight_decay: float = 1e-5
+    max_epoch: int = 150
+    batch_size: int = 64
+    validate_every: int = 4
+    comm_radius: float = 6.0
+    rate_maxstep: int = 2
+    num_valid_rollouts: int = 200
+    seed: int = 1337
+
+
+def cosine_lr(cfg: TrainConfig, epoch) -> jax.Array:
+    """CosineAnnealingLR(T_max=max_epoch, eta_min) evaluated at `epoch`."""
+    frac = jnp.asarray(epoch, jnp.float32) / cfg.max_epoch
+    return cfg.eta_min + 0.5 * (cfg.learning_rate - cfg.eta_min) * (
+        1.0 + jnp.cos(jnp.pi * frac))
+
+
+def make_optimizer(cfg: TrainConfig):
+    """torch.optim.Adam(lr, weight_decay): L2 added to the gradient before
+    the Adam moments (NOT decoupled AdamW)."""
+    return optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.scale_by_adam(),
+        optax.inject_hyperparams(lambda lr: optax.scale(-lr))(
+            lr=jnp.asarray(cfg.learning_rate, jnp.float32)),
+    )
+
+
+def set_lr(opt_state, lr):
+    """Rewrite the injected lr hyperparameter (per-epoch schedule step)."""
+    inner = opt_state[2]
+    inner = inner._replace(hyperparams={"lr": jnp.asarray(lr, jnp.float32)})
+    return (opt_state[0], opt_state[1], inner)
+
+
+def render_batch(grids, goals, pos, radius):
+    """Device-side batch rendering: FOV observations + normalized GSO."""
+    obs = jax.vmap(render_fov)(grids, pos, goals)
+    adj = jax.vmap(adjacency_from_positions)(pos.astype(jnp.float32), radius)
+    gso = jax.vmap(normalize_adjacency)(adj)
+    return obs, gso
+
+
+def make_train_step(model: DCPNet, optimizer) -> Callable:
+    @jax.jit
+    def train_step(state: TrainState, grids, goals, pos, actions, radius):
+        obs, gso = render_batch(grids, goals, pos, radius)
+
+        def loss_fn(params):
+            logits, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                obs, gso, train=True, mutable=["batch_stats"])
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nll = -jnp.take_along_axis(logp, actions[..., None], axis=-1)
+            return nll.mean(), updates["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(params=new_params, batch_stats=new_bs,
+                             opt_state=new_opt, step=state.step + 1), loss
+
+    return train_step
+
+
+def make_eval_step(model: DCPNet) -> Callable:
+    @jax.jit
+    def eval_step(state: TrainState, grids, goals, pos, actions, radius):
+        obs, gso = render_batch(grids, goals, pos, radius)
+        logits = model.apply({"params": state.params,
+                              "batch_stats": state.batch_stats},
+                             obs, gso, train=False)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, actions[..., None], axis=-1)
+        acc = (logits.argmax(-1) == actions).mean()
+        return nll.mean(), acc
+
+    return eval_step
+
+
+class Trainer:
+    def __init__(self, model: DCPNet, cfg: TrainConfig, exp_dir: str | Path,
+                 train_set: CaseDataset | None = None,
+                 valid_set: CaseDataset | None = None):
+        self.model = model
+        self.cfg = cfg
+        self.exp_dir = Path(exp_dir)
+        self.exp_dir.mkdir(parents=True, exist_ok=True)
+        self.train_set = train_set
+        self.valid_set = valid_set
+        self.optimizer = make_optimizer(cfg)
+        self.train_step = make_train_step(model, self.optimizer)
+        self.eval_step = make_eval_step(model)
+        self.logger = MetricsLogger(self.exp_dir / "metrics.jsonl")
+        self.rng = np.random.RandomState(cfg.seed)
+        self.best_reach_rate = -1.0
+
+        key = jax.random.PRNGKey(cfg.seed)
+        n = train_set.num_agents if train_set else 10
+        variables = model.init_variables(key, num_agents=n)
+        self.state = TrainState(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=self.optimizer.init(variables["params"]),
+            step=jnp.asarray(0, jnp.int32),
+            epoch=jnp.asarray(0, jnp.int32))
+
+    # ------------------------------------------------------------- policy
+    def policy(self):
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        apply_fn = self.model.apply
+        def policy(obs, gso):
+            return apply_fn(variables, obs, gso, train=False)
+        return policy
+
+    # ------------------------------------------------------------ resume
+    def try_resume(self, which: str = "latest") -> bool:
+        path = latest_checkpoint(self.exp_dir / "checkpoints", which)
+        if path is None:
+            return False
+        self.state, meta = load_checkpoint(path, self.state)
+        self.best_reach_rate = meta.get("best_reach_rate", -1.0)
+        return True
+
+    # ------------------------------------------------------------- train
+    def train_one_epoch(self, epoch: int) -> float:
+        assert self.train_set is not None
+        lr = cosine_lr(self.cfg, epoch)
+        self.state = self.state.replace(
+            opt_state=set_lr(self.state.opt_state, lr),
+            epoch=jnp.asarray(epoch, jnp.int32))
+        losses = []
+        for batch in self.train_set.batches(self.cfg.batch_size, self.rng):
+            self.state, loss = self.train_step(
+                self.state, jnp.asarray(batch.grids), jnp.asarray(batch.goals),
+                jnp.asarray(batch.pos), jnp.asarray(batch.actions),
+                jnp.asarray(batch.radius))
+            losses.append(loss)
+        mean_loss = float(jnp.stack(losses).mean()) if losses else float("nan")
+        self.logger.log("train_epoch", epoch, loss=mean_loss, lr=float(lr))
+        return mean_loss
+
+    # ---------------------------------------------------------- validate
+    def validate_rollout(self, dataset: CaseDataset | None = None,
+                         limit: int | None = None, label: str = "valid") -> dict:
+        ds = dataset or self.valid_set
+        assert ds is not None
+        limit = limit or self.cfg.num_valid_rollouts
+        arrs = ds.sim_cases(limit=limit)
+        cases = SimCase(
+            grid=jnp.asarray(arrs["grid"]),
+            starts=jnp.asarray(arrs["starts"]),
+            goals=jnp.asarray(arrs["goals"]),
+            target_makespan=jnp.asarray(arrs["target_makespan"]),
+            target_flowtime=jnp.asarray(arrs["target_flowtime"]))
+        n = ds.num_agents
+        rate = 3 if n >= 20 else self.cfg.rate_maxstep
+        max_steps = int(arrs["target_makespan"].max()) * rate
+        out = rollout_batch(self.policy(), cases, max_steps,
+                            self.cfg.comm_radius,
+                            jax.random.PRNGKey(self.cfg.seed),
+                            self.cfg.rate_maxstep)
+        rec = PerformanceRecorder(n)
+        rec.update_from_rollout(out.metrics)
+        summary = rec.summary()
+        self.logger.log(f"{label}_rollout", int(self.state.epoch), **{
+            k: v for k, v in summary.items() if not isinstance(v, list)})
+        return summary
+
+    def run(self, max_epoch: int | None = None) -> dict:
+        """Full training loop with validation cadence + checkpointing."""
+        max_epoch = max_epoch or self.cfg.max_epoch
+        n = self.train_set.num_agents
+        last_summary = {}
+        start_epoch = int(self.state.epoch)
+        for epoch in range(start_epoch, max_epoch + 1):
+            t0 = time.time()
+            loss = self.train_one_epoch(epoch)
+            reach = None
+            early = n < 10 and epoch <= 4  # reference :256-267
+            if early or (epoch % self.cfg.validate_every == 0):
+                last_summary = self.validate_rollout()
+                reach = last_summary["rate_ReachGoal"]
+                save_checkpoint(self.exp_dir / "checkpoints", self.state,
+                                epoch, numbered=True,
+                                extra_meta={"best_reach_rate": self.best_reach_rate})
+            is_best = reach is not None and reach > self.best_reach_rate
+            if is_best:
+                self.best_reach_rate = reach
+            save_checkpoint(self.exp_dir / "checkpoints", self.state, epoch,
+                            is_best=is_best,
+                            extra_meta={"best_reach_rate": self.best_reach_rate})
+            self.logger.log("epoch_done", epoch, loss=loss,
+                            seconds=time.time() - t0,
+                            rate_ReachGoal=reach if reach is not None else -1)
+        return last_summary

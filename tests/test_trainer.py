@@ -1,0 +1,87 @@
+"""Trainer integration tests on a tiny generated dataset."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gnn_pathplanning_tpu.data import generate_dataset, load_split
+from gnn_pathplanning_tpu.models import DCPNet, DCPConfig
+from gnn_pathplanning_tpu.train import (Trainer, TrainConfig, load_checkpoint,
+                                        latest_checkpoint, save_checkpoint)
+from gnn_pathplanning_tpu.train.trainer import cosine_lr, make_optimizer, set_lr
+
+
+@pytest.fixture(scope="module")
+def tiny_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    generate_dataset(root, map_w=10, map_h=10, num_agents=3,
+                     splits={"train": (2, 4), "valid": (1, 3)},
+                     workers=1, seed=3)
+    base = root / "map10x10_density_p1" / "3_Agent"
+    return load_split(base / "train"), load_split(base / "valid")
+
+
+@pytest.fixture()
+def trainer(tiny_data, tmp_path):
+    train_set, valid_set = tiny_data
+    cfg = TrainConfig(batch_size=8, max_epoch=10, num_valid_rollouts=3)
+    return Trainer(DCPNet(DCPConfig(num_taps=2)), cfg, tmp_path / "exp",
+                   train_set, valid_set)
+
+
+def test_cosine_schedule_endpoints():
+    cfg = TrainConfig(learning_rate=1e-3, eta_min=1e-6, max_epoch=150)
+    assert float(cosine_lr(cfg, 0)) == pytest.approx(1e-3)
+    assert float(cosine_lr(cfg, 150)) == pytest.approx(1e-6)
+    assert float(cosine_lr(cfg, 75)) == pytest.approx((1e-3 + 1e-6) / 2)
+
+
+def test_set_lr_applies(trainer):
+    st = set_lr(trainer.state.opt_state, 0.123)
+    assert float(st[2].hyperparams["lr"]) == pytest.approx(0.123)
+
+
+def test_train_reduces_loss(trainer):
+    losses = [trainer.train_one_epoch(e) for e in range(3)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_validate_rollout_summary(trainer):
+    s = trainer.validate_rollout()
+    assert 0.0 <= s["rate_ReachGoal"] <= 1.0
+    assert s["num_validset"] == 3
+    assert len(s["hist_numAgentReachGoal"]) == 4
+
+
+def test_checkpoint_roundtrip(trainer, tmp_path):
+    trainer.train_one_epoch(0)
+    save_checkpoint(tmp_path / "ck", trainer.state, epoch=0, is_best=True)
+    p = latest_checkpoint(tmp_path / "ck", "best")
+    assert p is not None
+    restored, meta = load_checkpoint(p, trainer.state)
+    assert meta["epoch"] == 0
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+                 trainer.state.params, restored.params)
+
+
+def test_resume(trainer):
+    trainer.train_one_epoch(0)
+    from gnn_pathplanning_tpu.train import save_checkpoint as sc
+    sc(trainer.exp_dir / "checkpoints", trainer.state, epoch=0)
+    step_before = int(trainer.state.step)
+    trainer.train_one_epoch(1)
+    assert trainer.try_resume("latest")
+    assert int(trainer.state.step) == step_before
+
+
+def test_weight_decay_is_l2_into_grad():
+    """torch Adam semantics: with zero gradient, decay still moves params
+    through the Adam moments (unlike zero-update)."""
+    cfg = TrainConfig(weight_decay=0.1, learning_rate=0.01)
+    opt = make_optimizer(cfg)
+    params = {"w": jnp.ones((3,))}
+    st = opt.init(params)
+    grads = {"w": jnp.zeros((3,))}
+    updates, _ = opt.update(grads, st, params)
+    assert float(jnp.abs(updates["w"]).sum()) > 0
