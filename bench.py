@@ -1,0 +1,105 @@
+"""Rollout throughput benchmark (driver entry point).
+
+Measures closed-loop rollout throughput of the flagship DCP-K3 policy in the
+batched jit-compiled simulator — FOV rendering, GSO construction, model
+forward, and shielded moves all on device — and compares against the
+reference-style torch-CPU loop (benchmarks/torch_baseline.py, cached in
+benchmarks/baseline_torch.json).
+
+Prints exactly one JSON line:
+  {"metric": "rollout_agent_steps_per_s", "value": ..., "unit": ..., "vs_baseline": ...}
+"""
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent
+
+# Benchmark scale: B cases x N agents x T steps per timed run.
+BATCH = 256
+AGENTS = 10
+STEPS = 64
+MAP_W = 20
+
+
+def get_baseline() -> float:
+    cache = REPO / "benchmarks" / "baseline_torch.json"
+    if not cache.exists():
+        subprocess.run([sys.executable, str(REPO / "benchmarks" / "torch_baseline.py")],
+                       check=True, capture_output=True, timeout=1200)
+    return float(json.loads(cache.read_text())["agent_steps_per_s"])
+
+
+def make_cases(rng: np.random.RandomState):
+    import jax.numpy as jnp
+    from gnn_pathplanning_tpu.env.simulator import SimCase
+
+    grids = (rng.rand(BATCH, MAP_W, MAP_W) < 0.1).astype(np.float32)
+    starts = np.zeros((BATCH, AGENTS, 2), np.int32)
+    goals = np.zeros((BATCH, AGENTS, 2), np.int32)
+    for b in range(BATCH):
+        free = np.argwhere(grids[b] == 0)
+        idx = rng.choice(len(free), 2 * AGENTS, replace=False)
+        starts[b] = free[idx[:AGENTS]]
+        goals[b] = free[idx[AGENTS:]]
+    # target makespan chosen so maxstep == STEPS (rate_maxstep = 2)
+    mk = np.full((BATCH,), STEPS // 2, np.int32)
+    ft = mk * AGENTS
+    return SimCase(grid=jnp.asarray(grids), starts=jnp.asarray(starts),
+                   goals=jnp.asarray(goals), target_makespan=jnp.asarray(mk),
+                   target_flowtime=jnp.asarray(ft))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from gnn_pathplanning_tpu.env.simulator import rollout_batch
+    from gnn_pathplanning_tpu.models import DCPConfig, DCPNet
+
+    rng = np.random.RandomState(1337)
+    model = DCPNet(DCPConfig(num_taps=3))
+    variables = model.init_variables(jax.random.PRNGKey(0), num_agents=AGENTS)
+
+    def policy(obs, gso):
+        return model.apply(variables, obs, gso, train=False)
+
+    cases = make_cases(rng)
+
+    @jax.jit
+    def run(key):
+        out = rollout_batch(policy, cases, STEPS, 6.0, key, rate_maxstep=2)
+        # Force full-horizon stepping cost into the measurement regardless of
+        # early termination bookkeeping: return a reduction over metrics.
+        return out.metrics.steps.sum(), out.metrics.num_agents_reached.sum()
+
+    key = jax.random.PRNGKey(0)
+    steps_done, _ = jax.block_until_ready(run(key))  # compile + warm
+    t0 = time.perf_counter()
+    reps = 3
+    for i in range(reps):
+        steps_done, reached = jax.block_until_ready(
+            run(jax.random.PRNGKey(i + 1)))
+    dt = (time.perf_counter() - t0) / reps
+
+    # The scan always executes STEPS iterations of full batched work
+    # (masked when done), so the honest compute rate uses the static horizon.
+    agent_steps = BATCH * AGENTS * STEPS
+    rate = agent_steps / dt
+
+    baseline = get_baseline()
+    print(json.dumps({
+        "metric": "rollout_agent_steps_per_s",
+        "value": round(rate, 1),
+        "unit": "agent-steps/s",
+        "vs_baseline": round(rate / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

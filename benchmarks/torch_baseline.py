@@ -1,0 +1,197 @@
+"""Reference-style torch baseline for the rollout throughput benchmark.
+
+The reference repo cannot be imported here (missing easydict/torchsummaryX),
+so this is a fresh, self-contained reproduction of its closed-loop hot path
+with the same algorithmic structure and costs (SURVEY §3.2):
+
+- per-case Python step loop, batch size 1 (agents/decentralplannerlocal.py:560)
+- observation rendering with per-agent numpy loops (dataloader/statetransformer.py)
+- per-step GSO: scipy pdist + dense Laplacian eigendecomposition
+  connectivity check (utils/multirobotsim_dcenlocal.py:320-365,
+  graphTools.py:396-423)
+- torch CNN->GNN->MLP forward with a Python loop over agents through the
+  shared CNN (graphs/models/decentralplanner.py:284-290)
+- per-agent Python move loop with collision shielding dict bookkeeping
+
+Used once to measure baseline agent-steps/s on this host; bench.py caches
+the result in benchmarks/baseline_torch.json.
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+import scipy.linalg
+from scipy.spatial.distance import pdist, squareform
+
+import torch
+import torch.nn as nn
+
+FOV_W = 4
+DELTAS = np.array([[-1, 0], [0, -1], [1, 0], [0, 1], [0, 0]])
+
+
+class TorchDCP(nn.Module):
+    """Reference v1.4 topology (decentralplanner.py:88-98)."""
+
+    def __init__(self, k=3):
+        super().__init__()
+        chans = [3, 32, 32, 64, 64, 128]
+        layers = []
+        for i in range(5):
+            layers += [nn.Conv2d(chans[i], chans[i + 1], 3, 1, 1),
+                       nn.BatchNorm2d(chans[i + 1]), nn.ReLU()]
+            if i % 2 == 0:
+                layers.append(nn.MaxPool2d(2))
+        self.conv = nn.Sequential(*layers)
+        self.compress = nn.Sequential(nn.Linear(128, 128), nn.ReLU())
+        self.gfl_w = nn.Parameter(torch.randn(128, 1, k, 128) * 0.05)
+        self.gfl_b = nn.Parameter(torch.zeros(128, 1))
+        self.actions = nn.Linear(128, 5)
+        self.k = k
+
+    def forward(self, obs, gso):
+        # obs [1, N, 3, 11, 11]; per-agent CNN loop like the reference
+        b, n = obs.shape[:2]
+        feats = []
+        for a in range(n):
+            f = self.conv(obs[:, a])
+            feats.append(self.compress(f.reshape(b, -1)))
+        x = torch.stack(feats, dim=2)          # B x G x N
+        s = gso.unsqueeze(1)
+        xk = x.reshape(b, 1, 128, n)
+        zs = [xk]
+        for _ in range(1, self.k):
+            xk = torch.matmul(xk, s)
+            zs.append(xk)
+        z = torch.stack(zs, dim=2)
+        y = torch.matmul(z.permute(0, 4, 1, 2, 3).reshape(b, n, -1),
+                         self.gfl_w.reshape(128, -1).T).permute(0, 2, 1)
+        y = torch.relu(y + self.gfl_b)
+        out = [self.actions(y[:, :, a]) for a in range(n)]
+        return torch.stack(out, dim=1)
+
+
+def render_obs(grid, pos, goals):
+    """Per-agent numpy FOV rendering (statetransformer.py structure)."""
+    n = pos.shape[0]
+    map_pad = np.pad(grid, FOV_W, constant_values=1)
+    occ = np.zeros_like(grid)
+    for a in range(n):
+        occ[pos[a, 0], pos[a, 1]] = 1
+    occ_pad = np.pad(occ, FOV_W, constant_values=0)
+    out = np.zeros((n, 3, 11, 11), np.float32)
+    for a in range(n):
+        x, y = pos[a]
+        out[a, 0] = np.pad(map_pad[x:x + 9, y:y + 9], 1)
+        out[a, 2] = np.pad(occ_pad[x:x + 9, y:y + 9], 1)
+        dx, dy = goals[a] - pos[a]
+        ch = np.zeros((11, 11), np.float32)
+        if abs(dx) <= 4 and abs(dy) <= 4:
+            ch[dx + 5, dy + 5] = 1
+        else:
+            ang = np.arctan2(dy, dx)
+            if (np.pi / 4 <= ang <= 3 * np.pi / 4) or (-3 * np.pi / 4 <= ang <= -np.pi / 4):
+                gj = int(5 * (np.sign(dy) + 1))
+                gi = int(5 + np.round(5 * dx / abs(dy)))
+            else:
+                gi = int(5 * (np.sign(dx) + 1))
+                gj = int(5 + np.round(5 * dy / abs(dx)))
+            ch[gi, gj] = 1
+        out[a, 1] = ch
+    return out
+
+
+def is_connected_eig(w):
+    lap = np.diag(w.sum(1)) - 0.5 * (w + w.T)
+    eig = scipy.linalg.eigvalsh(lap)
+    return int(np.sum(eig < 1e-9)) == 1
+
+
+def compute_gso(pos, radius, grow):
+    d = squareform(pdist(pos.astype(np.float64)))
+    r = radius / 1.1 if grow else radius
+    while True:
+        if grow:
+            r *= 1.1
+        w = (d < r).astype(np.float64)
+        np.fill_diagonal(w, 0)
+        if not grow or is_connected_eig(w):
+            break
+    _ = is_connected_eig(w)  # per-step check (reference does it every step)
+    deg = w.sum(1)
+    inv = np.where(deg > 1e-9, 1 / np.sqrt(np.maximum(deg, 1e-12)), 0)
+    return (w * inv[:, None] * inv[None, :]).astype(np.float32), r
+
+
+def move(grid, pos, goals, logits):
+    """Per-agent python move + shielding dict loop (simplified but same
+    structure/cost class as multirobotsim interRobotCollision)."""
+    n = pos.shape[0]
+    acts = logits.argmax(-1)
+    prop = pos + DELTAS[acts]
+    w, h = grid.shape
+    for a in range(n):
+        x, y = prop[a]
+        if not (0 <= x < w and 0 <= y < h) or grid[x, y] == 1:
+            prop[a] = pos[a]
+    for _ in range(n):
+        changed = False
+        cells = {}
+        for a in range(n):
+            cells.setdefault(tuple(prop[a]), []).append(a)
+        for cell, group in cells.items():
+            if len(group) > 1:
+                stopped = [a for a in group if (prop[a] == pos[a]).all()]
+                keep = group[0] if not stopped else None
+                for a in group:
+                    if a != keep:
+                        if (prop[a] != pos[a]).any():
+                            changed = True
+                        prop[a] = pos[a]
+        for a in range(n):
+            for b in range(a + 1, n):
+                if (prop[a] == pos[b]).all() and (prop[b] == pos[a]).all() \
+                        and (prop[a] != pos[a]).any():
+                    prop[a], prop[b] = pos[a].copy(), pos[b].copy()
+                    changed = True
+        if not changed:
+            break
+    return prop
+
+
+def measure(num_cases=4, steps=32, n_agents=10, map_w=20, seed=0):
+    """Run reference-style rollouts; return agent-steps/s."""
+    torch.manual_seed(seed)
+    rng = np.random.RandomState(seed)
+    model = TorchDCP(k=3).eval()
+    total_steps = 0
+    t0 = time.perf_counter()
+    with torch.no_grad():
+        for c in range(num_cases):
+            grid = (rng.rand(map_w, map_w) < 0.1).astype(np.float32)
+            free = np.argwhere(grid == 0)
+            idx = rng.choice(len(free), 2 * n_agents, replace=False)
+            pos = free[idx[:n_agents]].copy()
+            goals = free[idx[n_agents:]].copy()
+            radius = 6.0
+            for t in range(steps):
+                obs = render_obs(grid, pos, goals)
+                gso, radius = compute_gso(pos, radius, grow=(t == 0))
+                logits = model(torch.from_numpy(obs[None]),
+                               torch.from_numpy(gso[None]))[0].numpy()
+                pos = move(grid, pos, goals, logits)
+                total_steps += n_agents
+    dt = time.perf_counter() - t0
+    return total_steps / dt
+
+
+if __name__ == "__main__":
+    rate = measure()
+    out = {"agent_steps_per_s": rate, "host": "cpu-torch",
+           "config": "DCP-K3 N=10 20x20 reference-style loop"}
+    path = Path(__file__).parent / "baseline_torch.json"
+    path.write_text(json.dumps(out, indent=2))
+    print(json.dumps(out))
