@@ -1,0 +1,131 @@
+"""CLI entry point.
+
+Capability parity with the reference CLI (/root/reference/main.py:34-87):
+``python -m gnn_pathplanning_tpu.cli.main <config.json> --mode train|test
+[overrides]`` plus framework-native subcommands for dataset generation.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native DCP MAPF framework")
+    p.add_argument("config", nargs="?", default=None,
+                   help="JSON config file (reference-compatible keys)")
+    p.add_argument("--mode", type=str, default=None,
+                   choices=["train", "test", "gen_data"],)
+    p.add_argument("--num_agents", type=int, default=None)
+    p.add_argument("--map_w", type=int, default=None)
+    p.add_argument("--map_h", type=int, default=None)
+    p.add_argument("--map_density", type=int, default=None)
+    p.add_argument("--map_type", type=str, default=None)
+    p.add_argument("--nGraphFilterTaps", type=int, default=None)
+    p.add_argument("--hiddenFeatures", type=int, default=None)
+    p.add_argument("--num_testset", type=int, default=None)
+    p.add_argument("--num_validset", type=int, default=None)
+    p.add_argument("--max_epoch", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--learning_rate", type=float, default=None)
+    p.add_argument("--commR", type=float, default=None)
+    p.add_argument("--rate_maxstep", type=int, default=None)
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--save_root", type=str, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--online_expert", action="store_true", default=None)
+    p.add_argument("--con_train", action="store_true", default=None)
+    p.add_argument("--best_epoch", action="store_true", default=None)
+    p.add_argument("--test_epoch", type=int, default=None)
+    p.add_argument("--test_checkpoint", type=str, default=None,
+                   help="explicit checkpoint path for --mode test")
+    # gen_data options
+    p.add_argument("--num_maps", type=int, default=None)
+    p.add_argument("--cases_per_map", type=int, default=None)
+    p.add_argument("--solver", type=str, default="ecbs",
+                   choices=["ecbs", "cbs", "prioritized"])
+    p.add_argument("--workers", type=int, default=4)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from ..utils.config import load_config, process_config
+    overrides = {k: v for k, v in vars(args).items()
+                 if k not in ("config", "test_checkpoint", "num_maps",
+                              "cases_per_map", "solver", "workers")}
+    cfg = load_config(args.config, overrides)
+    np.random.seed(cfg.seed)
+
+    if cfg.mode == "gen_data":
+        from ..data.cases import generate_dataset
+        counts = generate_dataset(
+            cfg.data_root, map_w=cfg.map_w, map_h=cfg.map_h,
+            num_agents=cfg.num_agents, density_label=cfg.map_density,
+            splits={"train": (args.num_maps or 4, args.cases_per_map or 16),
+                    "valid": (1, args.cases_per_map or 16),
+                    "test": (1, args.cases_per_map or 16)},
+            algo=args.solver, comm_radius=cfg.commR, workers=args.workers,
+            seed=cfg.seed, map_type=cfg.map_type)
+        print("generated:", counts)
+        return 0
+
+    cfg = process_config(cfg)
+    log = logging.getLogger("main")
+
+    from ..data.dataset import load_split
+    from ..models.dcp import DCPConfig, DCPNet
+    from ..train.trainer import TrainConfig, Trainer
+
+    tcfg = TrainConfig(
+        learning_rate=cfg.learning_rate, weight_decay=cfg.weight_decay,
+        max_epoch=cfg.max_epoch, batch_size=cfg.batch_size,
+        validate_every=cfg.validate_every, comm_radius=cfg.commR,
+        rate_maxstep=cfg.rate_maxstep, num_valid_rollouts=cfg.num_validset,
+        seed=cfg.seed)
+    model = DCPNet(DCPConfig(num_taps=cfg.nGraphFilterTaps))
+
+    if cfg.mode == "train":
+        train_set = load_split(f"{cfg.dataset_root}/train")
+        valid_set = load_split(f"{cfg.dataset_root}/valid",
+                               limit=cfg.num_validset)
+        if cfg.online_expert:
+            from ..oe.online_expert import OnlineExpertConfig, OnlineExpertTrainer
+            trainer = OnlineExpertTrainer(
+                model, tcfg, cfg.exp_dir, train_set, valid_set,
+                oe_cfg=OnlineExpertConfig(start_epoch=cfg.Start_onlineExpert,
+                                          num_rollouts=cfg.num_test_trainingSet),
+                train_dir=f"{cfg.dataset_root}/train")
+        else:
+            trainer = Trainer(model, tcfg, cfg.exp_dir, train_set, valid_set)
+        if cfg.con_train:
+            trainer.try_resume("latest")
+        summary = trainer.run()
+        log.info("final validation: %s", summary)
+        return 0
+
+    if cfg.mode == "test":
+        test_set = load_split(f"{cfg.dataset_root}/test",
+                              limit=cfg.num_testset)
+        trainer = Trainer(model, tcfg, cfg.exp_dir, valid_set=test_set)
+        which = "best" if cfg.best_epoch else "latest"
+        if args.test_checkpoint:
+            from ..train.checkpoint import load_checkpoint
+            trainer.state, _ = load_checkpoint(args.test_checkpoint,
+                                               trainer.state)
+        elif not trainer.try_resume(which):
+            log.error("no checkpoint found in %s", cfg.exp_dir)
+            return 1
+        summary = trainer.validate_rollout(test_set, limit=cfg.num_testset,
+                                           label="test")
+        print({k: v for k, v in summary.items() if not isinstance(v, list)})
+        return 0
+
+    raise SystemExit(f"unknown mode {cfg.mode}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
