@@ -1,0 +1,155 @@
+"""Numpy graph utilities.
+
+Capability parity with the reference's graph toolbox
+(/root/reference/utils/graphUtils/graphTools.py) — the host-side (dataset
+generation / analysis) complement to the jit-able ops in ``ops.gso``:
+
+- ``adjacency_to_laplacian`` (:43), ``normalize_adjacency`` (:64),
+  ``normalize_laplacian``, ``compute_gft`` (:110), ``matrix_powers`` (:151),
+  ``compute_neighborhood`` (:218), ``is_connected`` (:396 — here via exact
+  boolean reachability instead of the eigendecomposition),
+  ``sparsify_graph`` (:425), graph generators (:516 ``createGraph``: SBM,
+  small-world, geometric), and the ``Graph`` container class (:1027).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def adjacency_to_laplacian(w: np.ndarray) -> np.ndarray:
+    return np.diag(w.sum(axis=1)) - w
+
+
+def normalize_adjacency(w: np.ndarray) -> np.ndarray:
+    """D^-1/2 W D^-1/2 with zero-degree guard."""
+    deg = w.sum(axis=1)
+    zero = np.abs(deg) < 1e-9
+    inv = np.where(zero, 0.0, 1.0 / np.sqrt(np.where(zero, 1.0, deg)))
+    return w * inv[:, None] * inv[None, :]
+
+
+def normalize_laplacian(lap: np.ndarray) -> np.ndarray:
+    deg = np.diag(lap)
+    zero = np.abs(deg) < 1e-9
+    inv = np.where(zero, 0.0, 1.0 / np.sqrt(np.where(zero, 1.0, deg)))
+    return lap * inv[:, None] * inv[None, :]
+
+
+def compute_gft(s: np.ndarray, order: str = "increasing"):
+    """(eigenvalues, eigenvectors) of a symmetric GSO, ordered by
+    ``increasing`` eigenvalue or by ``totalVariation`` (|λ - λ_max|)."""
+    e, v = np.linalg.eigh(0.5 * (s + s.T))
+    if order == "totalVariation":
+        idx = np.argsort(np.abs(e - e.max()))
+        e, v = e[idx], v[:, idx]
+    return e, v
+
+
+def matrix_powers(s: np.ndarray, k: int) -> np.ndarray:
+    """[K, N, N] stack of S^0..S^{K-1}."""
+    n = s.shape[0]
+    out = np.zeros((k, n, n), s.dtype)
+    out[0] = np.eye(n)
+    for i in range(1, k):
+        out[i] = out[i - 1] @ s
+    return out
+
+
+def compute_neighborhood(s: np.ndarray, k: int) -> list[list[int]]:
+    """k-hop neighborhoods (including self) per node."""
+    n = s.shape[0]
+    reach = np.eye(n, dtype=bool)
+    adj = s != 0
+    acc = reach.copy()
+    for _ in range(k):
+        reach = adj @ reach
+        acc |= reach
+    return [sorted(np.nonzero(acc[:, i])[0].tolist()) for i in range(n)]
+
+
+def is_connected(w: np.ndarray) -> bool:
+    n = w.shape[0]
+    if n <= 1:
+        return True
+    reach = ((w + w.T) > 0) | np.eye(n, dtype=bool)
+    for _ in range(max(1, (n - 1).bit_length())):
+        reach = reach @ reach
+    return bool(reach[0].all())
+
+
+def sparsify_graph(w: np.ndarray, kind: str, p: float) -> np.ndarray:
+    """'threshold': drop |edges| below p; 'NN': keep each node's p strongest
+    neighbors (symmetrized)."""
+    w = w.copy()
+    if kind == "threshold":
+        w[np.abs(w) < p] = 0.0
+    elif kind == "NN":
+        k = int(p)
+        keep = np.zeros_like(w, dtype=bool)
+        for i in range(w.shape[0]):
+            idx = np.argsort(-np.abs(w[i]))[:k]
+            keep[i, idx] = True
+        keep |= keep.T
+        w[~keep] = 0.0
+    else:
+        raise ValueError(kind)
+    return w
+
+
+def create_graph(kind: str, n: int, rng: np.random.RandomState | None = None,
+                 **kw) -> np.ndarray:
+    """Graph generators (reference createGraph :516): 'SBM' (communities,
+    p_intra/p_inter), 'smallWorld' (ring + rewiring p, k neighbors),
+    'geometric' (2D radius graph, radius r)."""
+    rng = rng or np.random.RandomState()
+    if kind == "SBM":
+        c = kw.get("communities", 2)
+        p_in, p_out = kw.get("p_intra", 0.8), kw.get("p_inter", 0.1)
+        labels = np.arange(n) % c
+        same = labels[:, None] == labels[None, :]
+        prob = np.where(same, p_in, p_out)
+        w = (rng.rand(n, n) < prob).astype(np.float64)
+        w = np.triu(w, 1)
+        return w + w.T
+    if kind == "smallWorld":
+        k = kw.get("k", 2)
+        p = kw.get("p", 0.1)
+        w = np.zeros((n, n))
+        for i in range(n):
+            for j in range(1, k + 1):
+                w[i, (i + j) % n] = 1
+        w = np.maximum(w, w.T)
+        for i, j in zip(*np.nonzero(np.triu(w, 1))):
+            if rng.rand() < p:
+                w[i, j] = w[j, i] = 0
+                new = rng.randint(n)
+                if new != i:
+                    w[i, new] = w[new, i] = 1
+        return w
+    if kind == "geometric":
+        r = kw.get("radius", 0.3)
+        pts = rng.rand(n, 2)
+        d = np.sqrt(((pts[:, None] - pts[None]) ** 2).sum(-1))
+        w = (d < r).astype(np.float64)
+        np.fill_diagonal(w, 0)
+        return w
+    raise ValueError(kind)
+
+
+class Graph:
+    """Container bundling a GSO with its derived operators (reference Graph
+    class, graphTools.py:1027)."""
+
+    def __init__(self, w: np.ndarray):
+        self.W = np.asarray(w, np.float64)
+        self.N = w.shape[0]
+        self.A = (self.W != 0).astype(np.float64)
+        self.L = adjacency_to_laplacian(self.W)
+        self.S = normalize_adjacency(self.W)
+        self.E, self.V = compute_gft(self.S)
+
+    def degree(self) -> np.ndarray:
+        return self.W.sum(axis=1)
+
+    def is_connected(self) -> bool:
+        return is_connected(self.W)
