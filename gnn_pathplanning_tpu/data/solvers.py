@@ -13,7 +13,7 @@ import dataclasses
 import os
 import subprocess
 import tempfile
-from concurrent.futures import ProcessPoolExecutor
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Sequence
 
@@ -135,8 +135,12 @@ def _solve_one(args):
 
 
 class ExpertSolver:
-    """Process-pool batch solver (the reference uses fixed pools of 4
-    multiprocessing workers — CasesSolver.py:473-483)."""
+    """Concurrent batch solver. The reference uses fixed pools of 4
+    multiprocessing workers (CasesSolver.py:473-483); here the parallelism
+    lives in the native solver *subprocesses*, so a thread pool suffices
+    (threads only write YAML and wait on the child process). This also
+    avoids fork-after-threads deadlocks: the parent process typically holds
+    live jax/PJRT runtime threads which make multiprocessing-fork unsafe."""
 
     def __init__(self, algo: str = "ecbs", w: float = 1.1,
                  timeout: float = 300.0, workers: int = 4):
@@ -153,5 +157,5 @@ class ExpertSolver:
                 for g, s, gl in zip(grids, starts, goals)]
         if self.workers <= 1:
             return [_solve_one(j) for j in jobs]
-        with ProcessPoolExecutor(max_workers=self.workers) as pool:
+        with ThreadPoolExecutor(max_workers=self.workers) as pool:
             return list(pool.map(_solve_one, jobs))

@@ -1,0 +1,224 @@
+"""Pallas TPU kernels for swarm-scale graph convolution.
+
+The reference regime (N <= 64 agents) is served by dense batched matmuls
+(ops.graph_filter). At swarm scale (BASELINE.md stress config: 1024+ agents)
+the dense GSO costs O(N^2) HBM and the reference rebuilds it per step with an
+O(N^3) eigendecomposition connectivity check. These kernels exploit the
+*geometric* structure of the communication graph instead:
+
+- Agents are sorted into spatial blocks (``spatial_sort``) so the
+  radius-graph adjacency becomes block-banded; only block pairs whose
+  bounding boxes come within the communication radius can hold edges
+  (``block_pair_mask``).
+- The SpMM ``z[n] = sum_m W[m, n] x[m]`` is *fused from positions*: each
+  active 128x128 block pair recomputes its pairwise distances on the VPU and
+  feeds the resulting 0/1 weights straight into a 128x128xG MXU matmul — the
+  N x N matrix never exists in HBM. Inactive block pairs are skipped with
+  ``@pl.when`` (no flops, and their feature blocks are never read).
+- Degree normalization (D^-1/2 W D^-1/2, same semantics as ops.gso) comes
+  from a first fused pass that only accumulates degrees.
+
+Layout notes (per the pallas TPU guide): coordinates are stored as separate
+x/y planes shaped [NB, BLOCK] so every VMEM block is (1, 128) — lane-aligned;
+the block-pair mask lives in SMEM for scalar reads; accumulation across the
+sender grid dimension happens in the output VMEM block (grid iterates the
+last dimension fastest, and the output index map ignores it).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK = 128  # agent block: MXU/VPU lane aligned
+
+
+def pad_to_block(n: int) -> int:
+    return ((n + BLOCK - 1) // BLOCK) * BLOCK
+
+
+def pad_agents(pos: jax.Array, x: jax.Array | None = None):
+    """Pad [N, ...] agent arrays to a BLOCK multiple; returns
+    (pos_pad, x_pad, valid). Padding agents sit at a far-away corner so they
+    can never enter anyone's radius even before masking."""
+    n = pos.shape[0]
+    np_ = pad_to_block(n)
+    valid = jnp.zeros((np_,), jnp.float32).at[:n].set(1.0)
+    pos_pad = jnp.full((np_, 2), 1e7, jnp.float32).at[:n].set(
+        pos.astype(jnp.float32))
+    x_pad = None
+    if x is not None:
+        x_pad = jnp.zeros((np_,) + x.shape[1:], x.dtype).at[:n].set(x)
+    return pos_pad, x_pad, valid
+
+
+def spatial_sort(pos: jax.Array, cell: float) -> jax.Array:
+    """Permutation ordering agents by spatial grid cell (row-major bins of
+    size ``cell``): nearby agents land in nearby blocks, concentrating edges
+    near the block diagonal."""
+    c = jnp.floor(pos.astype(jnp.float32) / cell).astype(jnp.int32)
+    key = c[:, 0] * 65536 + c[:, 1]
+    return jnp.argsort(key)
+
+
+def block_pair_mask(pos: jax.Array, radius, valid: jax.Array) -> jax.Array:
+    """[NB, NB] int32: could sender block I and receiver block J share an
+    edge? Per-block coordinate bounding boxes (padding lanes excluded)."""
+    n = pos.shape[0]
+    nb = n // BLOCK
+    p = pos.reshape(nb, BLOCK, 2)
+    v = valid.reshape(nb, BLOCK, 1) > 0
+    big = jnp.float32(1e9)
+    mins = jnp.min(jnp.where(v, p, big), axis=1)
+    maxs = jnp.max(jnp.where(v, p, -big), axis=1)
+    gap = jnp.maximum(
+        jnp.maximum(mins[:, None] - maxs[None, :],
+                    mins[None, :] - maxs[:, None]), 0.0)
+    dist2 = jnp.sum(gap * gap, axis=-1)
+    has = jnp.sum(v[..., 0], axis=1) > 0
+    ok = (dist2 < jnp.asarray(radius, jnp.float32) ** 2) \
+        & has[:, None] & has[None, :]
+    return ok.astype(jnp.int32)
+
+
+def _pair_weights(xi, yi, vi, xj, yj, vj, r2):
+    """[BLOCK, BLOCK] 0/1 adjacency between sender lanes i and receiver
+    lanes j; strict < threshold, self/duplicate cells removed."""
+    dx = xi[:, None] - xj[None, :]
+    dy = yi[:, None] - yj[None, :]
+    d2 = dx * dx + dy * dy
+    w = jnp.where(d2 < r2, 1.0, 0.0)
+    w = jnp.where(d2 == 0.0, 0.0, w)  # self-loops / co-located padding
+    return w * vi[:, None] * vj[None, :]
+
+
+def _degree_kernel(mask_ref, r2_ref, xi_ref, yi_ref, vi_ref,
+                   xj_ref, yj_ref, vj_ref, out_ref):
+    j, i = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(mask_ref[i, j] == 1)
+    def _():
+        w = _pair_weights(xi_ref[0], yi_ref[0], vi_ref[0],
+                          xj_ref[0], yj_ref[0], vj_ref[0], r2_ref[0])
+        out_ref[0, :] += jnp.sum(w, axis=0)
+
+
+def _spmm_kernel(mask_ref, r2_ref, xi_ref, yi_ref, vi_ref,
+                 xj_ref, yj_ref, vj_ref, x_ref, out_ref):
+    j, i = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(mask_ref[i, j] == 1)
+    def _():
+        w = _pair_weights(xi_ref[0], yi_ref[0], vi_ref[0],
+                          xj_ref[0], yj_ref[0], vj_ref[0], r2_ref[0])
+        out_ref[:] += jnp.dot(w.T, x_ref[:],
+                              preferred_element_type=jnp.float32)
+
+
+def _plane_specs(nb):
+    """Sender (index i) and receiver (index j) (1, BLOCK) plane specs."""
+    send = lambda: pl.BlockSpec((1, BLOCK), lambda j, i: (i, 0),
+                                memory_space=pltpu.VMEM)
+    recv = lambda: pl.BlockSpec((1, BLOCK), lambda j, i: (j, 0),
+                                memory_space=pltpu.VMEM)
+    return ([send(), send(), send()], [recv(), recv(), recv()])
+
+
+def _planes(pos, valid):
+    nb = pos.shape[0] // BLOCK
+    px = pos[:, 0].reshape(nb, BLOCK)
+    py = pos[:, 1].reshape(nb, BLOCK)
+    vv = valid.reshape(nb, BLOCK)
+    return px, py, vv
+
+
+def geometric_degrees(pos: jax.Array, radius, valid: jax.Array,
+                      mask: jax.Array, interpret: bool = False) -> jax.Array:
+    """deg[n] = #neighbors within radius (block-sparse fused kernel)."""
+    n = pos.shape[0]
+    nb = n // BLOCK
+    px, py, vv = _planes(pos, valid)
+    r2 = (jnp.asarray(radius, jnp.float32) ** 2).reshape(1)
+    send, recv = _plane_specs(nb)
+    out = pl.pallas_call(
+        _degree_kernel,
+        grid=(nb, nb),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  *send, *recv],
+        out_specs=pl.BlockSpec((1, BLOCK), lambda j, i: (j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, BLOCK), jnp.float32),
+        interpret=interpret,
+    )(mask, r2, px, py, vv, px, py, vv)
+    return out.reshape(-1)
+
+
+def geometric_spmm(pos: jax.Array, x: jax.Array, radius, valid: jax.Array,
+                   mask: jax.Array, interpret: bool = False) -> jax.Array:
+    """z[n] = sum_m W[m, n] x[m] over the radius graph, fused from
+    positions; x is [N, G] with N a BLOCK multiple."""
+    n, g = x.shape
+    nb = n // BLOCK
+    px, py, vv = _planes(pos, valid)
+    r2 = (jnp.asarray(radius, jnp.float32) ** 2).reshape(1)
+    send, recv = _plane_specs(nb)
+    out = pl.pallas_call(
+        _spmm_kernel,
+        grid=(nb, nb),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  *send, *recv,
+                  pl.BlockSpec((BLOCK, g), lambda j, i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((BLOCK, g), lambda j, i: (j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, g), jnp.float32),
+        interpret=interpret,
+    )(mask, r2, px, py, vv, px, py, vv, x)
+    return out
+
+
+def graph_filter_geometric(pos: jax.Array, x: jax.Array, radius,
+                           weights: jax.Array, bias: jax.Array | None = None,
+                           valid: jax.Array | None = None,
+                           interpret: bool = False) -> jax.Array:
+    """Full K-tap graph filter over the radius graph without materializing
+    the GSO: matches ``ops.graph_filter(x, normalize(adjacency(pos, r)), w,
+    b)`` on the valid lanes.
+
+    Inputs must be BLOCK-padded (see ``pad_agents``); ``valid`` marks real
+    agents.
+    """
+    n = pos.shape[0]
+    assert n % BLOCK == 0, "pad inputs to a BLOCK multiple (pad_agents)"
+    if valid is None:
+        valid = jnp.ones((n,), jnp.float32)
+    mask = block_pair_mask(pos, radius, valid)
+
+    deg = geometric_degrees(pos, radius, valid, mask, interpret)
+    inv_sqrt = jnp.where(deg > 1e-9, jax.lax.rsqrt(jnp.maximum(deg, 1e-9)),
+                         0.0)
+
+    k_taps = weights.shape[0]
+    zs = [x]
+    z = x
+    for _ in range(1, k_taps):
+        z = inv_sqrt[:, None] * geometric_spmm(
+            pos, inv_sqrt[:, None] * z, radius, valid, mask, interpret)
+        zs.append(z)
+    stacked = jnp.concatenate(zs, axis=-1)
+    w2 = weights.reshape(k_taps * weights.shape[1], weights.shape[2])
+    y = stacked @ w2
+    if bias is not None:
+        y = y + bias
+    return y * valid[:, None]

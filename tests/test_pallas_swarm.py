@@ -1,0 +1,90 @@
+"""Swarm-scale fused geometric graph-conv kernels vs the dense oracle.
+
+Runs in pallas interpret mode on CPU; the same code compiles on TPU.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gnn_pathplanning_tpu.ops import compute_gso, graph_filter
+from gnn_pathplanning_tpu.ops import pallas_swarm as ps
+
+
+def _swarm(rng, n, world=200):
+    # unique integer positions
+    cells = rng.choice(world * world, size=n, replace=False)
+    return np.stack([cells // world, cells % world], -1).astype(np.float32)
+
+
+def test_block_pair_mask_excludes_far_blocks(rng):
+    n = 2 * ps.BLOCK
+    pos = np.zeros((n, 2), np.float32)
+    pos[:ps.BLOCK] = rng.randint(0, 20, (ps.BLOCK, 2))
+    pos[ps.BLOCK:] = rng.randint(1000, 1020, (ps.BLOCK, 2))
+    valid = np.ones(n, np.float32)
+    mask = np.asarray(ps.block_pair_mask(jnp.array(pos), 6.0, jnp.array(valid)))
+    assert mask[0, 0] == 1 and mask[1, 1] == 1
+    assert mask[0, 1] == 0 and mask[1, 0] == 0
+
+
+def test_degrees_match_dense(rng):
+    n = 200
+    pos = _swarm(rng, n, world=60)
+    pos_p, _, valid = ps.pad_agents(jnp.array(pos))
+    mask = ps.block_pair_mask(pos_p, 8.0, valid)
+    deg = np.asarray(ps.geometric_degrees(pos_p, 8.0, valid, mask,
+                                          interpret=True))[:n]
+    d = np.sqrt(((pos[:, None] - pos[None]) ** 2).sum(-1))
+    w = (d < 8.0).astype(np.float32)
+    np.fill_diagonal(w, 0)
+    np.testing.assert_allclose(deg, w.sum(1), atol=1e-5)
+
+
+def test_spmm_matches_dense(rng):
+    n, g = 300, 8
+    pos = _swarm(rng, n, world=80)
+    x = rng.randn(n, g).astype(np.float32)
+    pos_p, x_p, valid = ps.pad_agents(jnp.array(pos), jnp.array(x))
+    mask = ps.block_pair_mask(pos_p, 10.0, valid)
+    z = np.asarray(ps.geometric_spmm(pos_p, x_p, 10.0, valid, mask,
+                                     interpret=True))[:n]
+    d = np.sqrt(((pos[:, None] - pos[None]) ** 2).sum(-1))
+    w = (d < 10.0).astype(np.float32)
+    np.fill_diagonal(w, 0)
+    np.testing.assert_allclose(z, w.T @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_filter_matches_dense_pipeline(rng):
+    n, g, f, k = 260, 4, 6, 3
+    pos = _swarm(rng, n, world=70)
+    x = rng.randn(n, g).astype(np.float32)
+    w = rng.randn(k, g, f).astype(np.float32)
+    b = rng.randn(f).astype(np.float32)
+    radius = 9.0
+
+    s, _, _ = compute_gso(jnp.array(pos), jnp.float32(radius), grow=False)
+    want = np.asarray(graph_filter(jnp.array(x[None]), s[None],
+                                   jnp.array(w), jnp.array(b)))[0]
+
+    # spatial sort (production layout) + pad, then unsort
+    perm = np.asarray(ps.spatial_sort(jnp.array(pos), cell=radius))
+    pos_p, x_p, valid = ps.pad_agents(jnp.array(pos[perm]),
+                                      jnp.array(x[perm]))
+    got_sorted = np.asarray(ps.graph_filter_geometric(
+        pos_p, x_p, radius, jnp.array(w), jnp.array(b), valid,
+        interpret=True))[:n]
+    got = np.empty_like(got_sorted)
+    got[perm] = got_sorted
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_padding_lanes_are_inert(rng):
+    n, g = 100, 4
+    pos = _swarm(rng, n, world=40)
+    x = rng.randn(n, g).astype(np.float32)
+    w = rng.randn(2, g, 3).astype(np.float32)
+    pos_p, x_p, valid = ps.pad_agents(jnp.array(pos), jnp.array(x))
+    out = np.asarray(ps.graph_filter_geometric(pos_p, x_p, 6.0, jnp.array(w),
+                                               None, valid, interpret=True))
+    assert np.all(out[n:] == 0)
