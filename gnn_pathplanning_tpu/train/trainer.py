@@ -67,22 +67,54 @@ def cosine_lr(cfg: TrainConfig, epoch) -> jax.Array:
         1.0 + jnp.cos(jnp.pi * frac))
 
 
-def make_optimizer(cfg: TrainConfig):
+def make_optimizer(cfg: TrainConfig, trainable_filter=None):
     """torch.optim.Adam(lr, weight_decay): L2 added to the gradient before
-    the Adam moments (NOT decoupled AdamW)."""
-    return optax.chain(
+    the Adam moments (NOT decoupled AdamW).
+
+    ``trainable_filter(path_tuple) -> bool`` freezes parameters it rejects —
+    the transfer-learning mode of the reference freezes everything except
+    ``*GFL*`` and ``*actions*`` (decentralplannerlocal.py:168-179); pass
+    :func:`tl_trainable` for that behavior.
+    """
+    parts = [
         optax.add_decayed_weights(cfg.weight_decay),
         optax.scale_by_adam(),
         optax.inject_hyperparams(lambda lr: optax.scale(-lr))(
             lr=jnp.asarray(cfg.learning_rate, jnp.float32)),
-    )
+    ]
+    if trainable_filter is not None:
+        def frozen_mask(params):
+            def mark(tree, prefix=()):
+                if isinstance(tree, dict):
+                    return {k: mark(v, prefix + (k,)) for k, v in tree.items()}
+                return not trainable_filter(prefix)
+            return mark(params)
+        # zero out the final updates of frozen params (== torch's
+        # requires_grad=False: no gradient step, no decay)
+        parts.append(optax.masked(optax.set_to_zero(), frozen_mask))
+    return optax.chain(*parts)
+
+
+def tl_trainable(path: tuple[str, ...]) -> bool:
+    """Reference TL filter: train only the graph-filter and action-MLP
+    parameters (fnmatch '*GFL*' / '*actions*')."""
+    return any(("gfl" in p.lower()) or ("action" in p.lower()) for p in path)
 
 
 def set_lr(opt_state, lr):
-    """Rewrite the injected lr hyperparameter (per-epoch schedule step)."""
-    inner = opt_state[2]
-    inner = inner._replace(hyperparams={"lr": jnp.asarray(lr, jnp.float32)})
-    return (opt_state[0], opt_state[1], inner)
+    """Rewrite the injected lr hyperparameter (per-epoch schedule step).
+    Walks the (possibly nested/masked) optax state for the
+    InjectHyperparamsState."""
+    def walk(s):
+        if hasattr(s, "hyperparams") and "lr" in getattr(s, "hyperparams", {}):
+            return s._replace(
+                hyperparams={"lr": jnp.asarray(lr, jnp.float32)})
+        if hasattr(s, "_fields"):
+            return type(s)(*(walk(getattr(s, f)) for f in s._fields))
+        if isinstance(s, tuple):
+            return tuple(walk(x) for x in s)
+        return s
+    return walk(opt_state)
 
 
 def render_batch(grids, goals, pos, radius):
@@ -135,14 +167,15 @@ def make_eval_step(model: DCPNet) -> Callable:
 class Trainer:
     def __init__(self, model: DCPNet, cfg: TrainConfig, exp_dir: str | Path,
                  train_set: CaseDataset | None = None,
-                 valid_set: CaseDataset | None = None):
+                 valid_set: CaseDataset | None = None,
+                 trainable_filter=None):
         self.model = model
         self.cfg = cfg
         self.exp_dir = Path(exp_dir)
         self.exp_dir.mkdir(parents=True, exist_ok=True)
         self.train_set = train_set
         self.valid_set = valid_set
-        self.optimizer = make_optimizer(cfg)
+        self.optimizer = make_optimizer(cfg, trainable_filter)
         self.train_step = make_train_step(model, self.optimizer)
         self.eval_step = make_eval_step(model)
         self.logger = MetricsLogger(self.exp_dir / "metrics.jsonl")
