@@ -91,6 +91,24 @@ def generate_map(width: int, height: int, complexity: float = 0.01,
     return grid
 
 
+def load_movingai_map(path) -> np.ndarray:
+    """Load a MovingAI-benchmark ``.map`` file (the format consumed by the
+    reference's ``load_benchmarkMap``, CasesSolver.py:215-232): header lines
+    ``type/height/width/map`` then rows where '@'/'T' are obstacles."""
+    with open(path) as f:
+        f.readline()                                   # type octile
+        height = int(f.readline().split("height")[-1])
+        width = int(f.readline().split("width")[-1])
+        f.readline()                                   # "map"
+        grid = np.zeros((height, width), np.int64)
+        for h in range(height):
+            row = f.readline().rstrip("\n")
+            for w in range(min(width, len(row))):
+                if row[w] in "@T":
+                    grid[h, w] = 1
+    return grid
+
+
 def random_start_goal_pairs(grid: np.ndarray, num_agents: int,
                             rng: np.random.RandomState | None = None,
                             max_tries: int = 1000):
