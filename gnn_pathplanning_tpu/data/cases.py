@@ -91,7 +91,8 @@ def generate_dataset(root: str | Path, map_w: int = 20, map_h: int = 20,
                      algo: str = "ecbs", complexity: float = 0.01,
                      density: float = 0.1, comm_radius: float = 6.0,
                      workers: int = 4, seed: int = 1337,
-                     map_type: str = "map") -> dict[str, int]:
+                     map_type: str = "map",
+                     timeout: float = 300.0) -> dict[str, int]:
     """Full dataset generation. ``splits`` maps split name ->
     (num_maps, cases_per_map); defaults to a small smoke-scale set."""
     splits = splits or {"train": (4, 8), "valid": (1, 4), "test": (1, 4)}
@@ -103,5 +104,5 @@ def generate_dataset(root: str | Path, map_w: int = 20, map_h: int = 20,
                            split, map_type).parent
         counts[split] = solve_and_save(pool, base, split, algo=algo,
                                        comm_radius=comm_radius,
-                                       workers=workers)
+                                       workers=workers, timeout=timeout)
     return counts

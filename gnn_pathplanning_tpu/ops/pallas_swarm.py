@@ -93,8 +93,25 @@ def _pair_weights(xi, yi, vi, xj, yj, vj, r2):
     return w * vi[:, None] * vj[None, :]
 
 
-def _degree_kernel(mask_ref, r2_ref, xi_ref, yi_ref, vi_ref,
-                   xj_ref, yj_ref, vj_ref, out_ref):
+def _degree_kernel(mask_ref, r2_ref, px_ref, py_ref, vv_ref, out_ref):
+    # planes are unblocked [NB, BLOCK] VMEM arrays (tiny); rows are selected
+    # dynamically — TPU block shapes must be (8k, 128)-aligned OR whole-array,
+    # so whole-array + dynamic row reads is the legal layout here.
+    j, i = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[j, :] = jnp.zeros((BLOCK,), jnp.float32)
+
+    @pl.when(mask_ref[i, j] == 1)
+    def _():
+        w = _pair_weights(px_ref[i, :], py_ref[i, :], vv_ref[i, :],
+                          px_ref[j, :], py_ref[j, :], vv_ref[j, :],
+                          r2_ref[0])
+        out_ref[j, :] += jnp.sum(w, axis=0)
+
+
+def _spmm_kernel(mask_ref, r2_ref, px_ref, py_ref, vv_ref, x_ref, out_ref):
     j, i = pl.program_id(0), pl.program_id(1)
 
     @pl.when(i == 0)
@@ -103,34 +120,11 @@ def _degree_kernel(mask_ref, r2_ref, xi_ref, yi_ref, vi_ref,
 
     @pl.when(mask_ref[i, j] == 1)
     def _():
-        w = _pair_weights(xi_ref[0], yi_ref[0], vi_ref[0],
-                          xj_ref[0], yj_ref[0], vj_ref[0], r2_ref[0])
-        out_ref[0, :] += jnp.sum(w, axis=0)
-
-
-def _spmm_kernel(mask_ref, r2_ref, xi_ref, yi_ref, vi_ref,
-                 xj_ref, yj_ref, vj_ref, x_ref, out_ref):
-    j, i = pl.program_id(0), pl.program_id(1)
-
-    @pl.when(i == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    @pl.when(mask_ref[i, j] == 1)
-    def _():
-        w = _pair_weights(xi_ref[0], yi_ref[0], vi_ref[0],
-                          xj_ref[0], yj_ref[0], vj_ref[0], r2_ref[0])
+        w = _pair_weights(px_ref[i, :], py_ref[i, :], vv_ref[i, :],
+                          px_ref[j, :], py_ref[j, :], vv_ref[j, :],
+                          r2_ref[0])
         out_ref[:] += jnp.dot(w.T, x_ref[:],
                               preferred_element_type=jnp.float32)
-
-
-def _plane_specs(nb):
-    """Sender (index i) and receiver (index j) (1, BLOCK) plane specs."""
-    send = lambda: pl.BlockSpec((1, BLOCK), lambda j, i: (i, 0),
-                                memory_space=pltpu.VMEM)
-    recv = lambda: pl.BlockSpec((1, BLOCK), lambda j, i: (j, 0),
-                                memory_space=pltpu.VMEM)
-    return ([send(), send(), send()], [recv(), recv(), recv()])
 
 
 def _planes(pos, valid):
@@ -148,18 +142,17 @@ def geometric_degrees(pos: jax.Array, radius, valid: jax.Array,
     nb = n // BLOCK
     px, py, vv = _planes(pos, valid)
     r2 = (jnp.asarray(radius, jnp.float32) ** 2).reshape(1)
-    send, recv = _plane_specs(nb)
+    plane = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _degree_kernel,
         grid=(nb, nb),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  *send, *recv],
-        out_specs=pl.BlockSpec((1, BLOCK), lambda j, i: (j, 0),
-                               memory_space=pltpu.VMEM),
+                  plane(), plane(), plane()],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb, BLOCK), jnp.float32),
         interpret=interpret,
-    )(mask, r2, px, py, vv, px, py, vv)
+    )(mask, r2, px, py, vv)
     return out.reshape(-1)
 
 
@@ -171,20 +164,20 @@ def geometric_spmm(pos: jax.Array, x: jax.Array, radius, valid: jax.Array,
     nb = n // BLOCK
     px, py, vv = _planes(pos, valid)
     r2 = (jnp.asarray(radius, jnp.float32) ** 2).reshape(1)
-    send, recv = _plane_specs(nb)
+    plane = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         _spmm_kernel,
         grid=(nb, nb),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  *send, *recv,
+                  plane(), plane(), plane(),
                   pl.BlockSpec((BLOCK, g), lambda j, i: (i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((BLOCK, g), lambda j, i: (j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, g), jnp.float32),
         interpret=interpret,
-    )(mask, r2, px, py, vv, px, py, vv, x)
+    )(mask, r2, px, py, vv, x)
     return out
 
 
