@@ -46,7 +46,14 @@ class DCPConfig:
     num_taps: int = 3          # nGraphFilterTaps (K)
     features: int = 128        # compressed node feature width
     num_actions: int = _NUM_ACTIONS
+    cnn: str = "v14"           # 'v14' (flagship) or 'vgg' (reference
+                               # use_vgg variant, decentralplanner.py:117-153)
     dtype: jnp.dtype = jnp.float32
+
+
+# Reference VGG config (decentralplanner.py:126): conv channels with 'M'
+# max-pool markers; compress MLP 512 -> 4096 -> 4096 -> 128 with dropout.
+_VGG_CFG = (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M")
 
 
 def _xavier_normal():
@@ -100,19 +107,11 @@ class DCPNet(nn.Module):
         x = obs.reshape(b * n, *obs.shape[2:]).transpose(0, 2, 3, 1)
         x = x.astype(self.cfg.dtype)
 
-        for layer, ch in enumerate(_CNN_CHANNELS):
-            x = nn.Conv(ch, (3, 3), strides=1, padding="SAME",
-                        kernel_init=_xavier_normal(),
-                        bias_init=_torch_conv_bias_init(9 * x.shape[-1]),
-                        dtype=self.cfg.dtype, name=f"conv{layer}")(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, scale_init=_batchnorm_scale_init,
-                             dtype=self.cfg.dtype, name=f"bn{layer}")(x)
-            x = nn.relu(x)
-            if layer in _POOL_AFTER:
-                x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")
-
-        x = x.reshape(b * n, -1)  # [B*N, 128] (1x1 spatial)
+        if self.cfg.cnn == "vgg":
+            x = self._vgg_encoder(x, train)
+        else:
+            x = self._v14_encoder(x, train)
+        x = x.reshape(b * n, -1)
         x = nn.Dense(self.cfg.features, kernel_init=_xavier_normal(),
                      bias_init=nn.initializers.zeros, dtype=self.cfg.dtype,
                      name="compress0")(x)
@@ -128,6 +127,56 @@ class DCPNet(nn.Module):
                           bias_init=nn.initializers.zeros,
                           dtype=self.cfg.dtype, name="actions0")(x)
         return logits  # [B, N, num_actions]
+
+    def _v14_encoder(self, x: jax.Array, train: bool) -> jax.Array:
+        """Flagship CNN (reference "v1.4", decentralplanner.py:88-98)."""
+        for layer, ch in enumerate(_CNN_CHANNELS):
+            x = nn.Conv(ch, (3, 3), strides=1, padding="SAME",
+                        kernel_init=_xavier_normal(),
+                        bias_init=_torch_conv_bias_init(9 * x.shape[-1]),
+                        dtype=self.cfg.dtype, name=f"conv{layer}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, scale_init=_batchnorm_scale_init,
+                             dtype=self.cfg.dtype, name=f"bn{layer}")(x)
+            x = nn.relu(x)
+            if layer in _POOL_AFTER:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="VALID")
+        return x
+
+    def _vgg_encoder(self, x: jax.Array, train: bool) -> jax.Array:
+        """Reference VGG variant (decentralplanner.py:117-126, 142-153,
+        246-263 make_layers + vgg compressMLP). Deviation: pools are skipped
+        once the spatial extent reaches 1x1 — the reference config applied to
+        an 11x11 FOV would floor-pool to zero size (torch would error), so
+        the variant was unusable there; this keeps it usable at any FOV.
+        """
+        layer = 0
+        for spec in _VGG_CFG:
+            if spec == "M":
+                if x.shape[1] >= 2:
+                    x = nn.max_pool(x, (2, 2), strides=(2, 2),
+                                    padding="VALID")
+                continue
+            x = nn.Conv(int(spec), (3, 3), strides=1, padding="SAME",
+                        kernel_init=_xavier_normal(),
+                        bias_init=_torch_conv_bias_init(9 * x.shape[-1]),
+                        dtype=self.cfg.dtype, name=f"vgg_conv{layer}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, scale_init=_batchnorm_scale_init,
+                             dtype=self.cfg.dtype, name=f"vgg_bn{layer}")(x)
+            x = nn.relu(x)
+            layer += 1
+        # vgg compress head: 512 -> 4096 -> 4096 (dropout between) before the
+        # shared compress0 Dense maps to self.cfg.features.
+        b = x.shape[0]
+        x = x.reshape(b, -1)
+        for i, width in enumerate((4096, 4096)):
+            x = nn.Dense(width, kernel_init=_xavier_normal(),
+                         bias_init=nn.initializers.zeros,
+                         dtype=self.cfg.dtype, name=f"vgg_fc{i}")(x)
+            x = nn.relu(x)
+            x = nn.Dropout(0.5, deterministic=not train)(x)
+        return x
 
     def init_variables(self, key: jax.Array, num_agents: int):
         """Convenience: init params/batch_stats for N agents."""

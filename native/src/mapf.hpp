@@ -415,6 +415,10 @@ inline std::vector<Path> solve_cbs(const Problem& prob, double w,
     closed.insert(cur);
     open.erase({nodes[cur].lb, cur});
     ++expansions;
+    if (getenv("MAPF_DEBUG") && expansions % 10000 == 0) {
+      fprintf(stderr, "HL expansions=%ld lb_min=%ld best_conflicts=%d cost=%ld nodes=%zu\n",
+              expansions, lb_min, nodes[cur].conflicts, nodes[cur].cost, nodes.size());
+    }
 
     Conflict conf;
     if (count_conflicts(nodes[cur].paths, &conf) == 0) {
@@ -444,6 +448,9 @@ inline std::vector<Path> solve_cbs(const Problem& prob, double w,
       child.fmins[agent] = res.fmin;
       child.cost += (long)res.path.size() - 1;
       child.lb += res.fmin;
+      // Monotone lower bound: a child's constraints are a superset of the
+      // parent's, so the parent's LB remains valid and usually tighter.
+      child.lb = std::max(child.lb, nodes[cur].lb);
       child.conflicts = count_conflicts(child.paths);
       nodes.push_back(child);
       open.insert({child.lb, child.id});

@@ -131,3 +131,14 @@ def test_init_shapes():
     out = model.apply(variables, jnp.zeros((2, 10, 3, 11, 11)),
                       jnp.zeros((2, 10, 10)))
     assert out.shape == (2, 10, 5)
+
+
+def test_vgg_variant_builds_and_runs():
+    import jax
+    from gnn_pathplanning_tpu.models import DCPNet, DCPConfig
+    model = DCPNet(DCPConfig(num_taps=2, cnn="vgg"))
+    variables = model.init_variables(jax.random.PRNGKey(0), num_agents=4)
+    out = model.apply(variables, jnp.zeros((2, 4, 3, 11, 11)),
+                      jnp.zeros((2, 4, 4)))
+    assert out.shape == (2, 4, 5)
+    assert any(k.startswith("vgg_conv") for k in variables["params"])
