@@ -20,6 +20,8 @@ from pathlib import Path
 import numpy as np
 
 REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
 
 # Benchmark scale: B cases x N agents x T steps per timed run.
 BATCH = 256
