@@ -7,8 +7,13 @@ from .simulator import (
     rollout_batch,
     step_state,
 )
+from .export import (gso_sequence_from_paths, save_rollout_case,
+                     write_schedule_yaml)
 
 __all__ = [
+    "gso_sequence_from_paths",
+    "save_rollout_case",
+    "write_schedule_yaml",
     "Rollout",
     "RolloutMetrics",
     "SimCase",

@@ -229,6 +229,31 @@ class Trainer:
         return mean_loss
 
     # ---------------------------------------------------------- validate
+    def validate_step(self, dataset: CaseDataset | None = None,
+                      batch_size: int | None = None,
+                      max_batches: int = 50) -> dict:
+        """Per-step action accuracy / CE on held-out expert states — the
+        reference's ``test_step`` over the validStep loader
+        (decentralplannerlocal.py:431-482)."""
+        ds = dataset or self.valid_set
+        assert ds is not None
+        bs = batch_size or self.cfg.batch_size
+        losses, accs = [], []
+        rng = np.random.RandomState(self.cfg.seed)
+        for i, batch in enumerate(ds.batches(bs, rng, drop_last=False)):
+            if i >= max_batches:
+                break
+            loss, acc = self.eval_step(
+                self.state, jnp.asarray(batch.grids), jnp.asarray(batch.goals),
+                jnp.asarray(batch.pos), jnp.asarray(batch.actions),
+                jnp.asarray(batch.radius))
+            losses.append(float(loss))
+            accs.append(float(acc))
+        out = {"step_loss": float(np.mean(losses)) if losses else float("nan"),
+               "step_accuracy": float(np.mean(accs)) if accs else float("nan")}
+        self.logger.log("valid_step", int(self.state.epoch), **out)
+        return out
+
     def validate_rollout(self, dataset: CaseDataset | None = None,
                          limit: int | None = None, label: str = "valid") -> dict:
         ds = dataset or self.valid_set

@@ -206,3 +206,42 @@ def draw_paths_figure(grid: np.ndarray, predicted: np.ndarray,
     fig.savefig(out_path, dpi=100, bbox_inches="tight")
     plt.close(fig)
     return out_path
+
+
+def main(argv=None):
+    """CLI mirroring the reference visualizer
+    (utils/visualize.py:305-313): --map case.yaml --schedule sol.yaml
+    [--GSO gso.npz] [--nGraphFilterTaps K] [--id_chosenAgent A]
+    [--video out.mp4|gif] [--speed fps]."""
+    import argparse
+    p = argparse.ArgumentParser(description="MAPF rollout animation")
+    p.add_argument("--map", required=True, help="input case YAML")
+    p.add_argument("--schedule", required=True, help="schedule YAML")
+    p.add_argument("--GSO", default=None, help="GSO .npz (key 'gso')")
+    p.add_argument("--nGraphFilterTaps", type=int, default=3)
+    p.add_argument("--id_chosenAgent", type=int, default=None)
+    p.add_argument("--video", default="rollout.gif")
+    p.add_argument("--speed", type=int, default=10)
+    args = p.parse_args(argv)
+
+    case = load_case_yaml(args.map)
+    schedule = load_schedule_yaml(args.schedule)
+    gso_seq = None
+    if args.GSO:
+        if str(args.GSO).endswith(".mat"):
+            import scipy.io as sio
+            gso_seq = np.asarray(sio.loadmat(args.GSO)["gso"])
+        else:
+            with np.load(args.GSO) as z:
+                gso_seq = z["gso"]
+        gso_seq = gso_seq.reshape(-1, *gso_seq.shape[-2:])
+    anim = Animation(case["grid"], case["goals"], schedule, gso_seq,
+                     k_hops=args.nGraphFilterTaps,
+                     chosen_agent=args.id_chosenAgent)
+    out = anim.render(args.video, fps=args.speed)
+    print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

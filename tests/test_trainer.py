@@ -85,3 +85,10 @@ def test_weight_decay_is_l2_into_grad():
     grads = {"w": jnp.zeros((3,))}
     updates, _ = opt.update(grads, st, params)
     assert float(jnp.abs(updates["w"]).sum()) > 0
+
+
+def test_validate_step_accuracy(trainer):
+    trainer.train_one_epoch(0)
+    s = trainer.validate_step(trainer.train_set, batch_size=8, max_batches=5)
+    assert np.isfinite(s["step_loss"])
+    assert 0.0 <= s["step_accuracy"] <= 1.0

@@ -68,3 +68,50 @@ def test_paths_figure_and_animation(solved, tmp_path):
     anim = Animation(grid, goals, sched, gso_seq, k_hops=2, chosen_agent=0)
     out = anim.render(tmp_path / "roll.gif", fps=5)
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_rollout_export_and_animation_cli(tmp_path):
+    """save_rollout_case artifacts feed the animation CLI end to end."""
+    pytest.importorskip("matplotlib")
+    import jax
+    import jax.numpy as jnp
+    from gnn_pathplanning_tpu.env import (SimCase, gso_sequence_from_paths,
+                                          rollout, save_rollout_case)
+    from gnn_pathplanning_tpu.viz.animate import main as viz_main
+
+    grid = np.zeros((8, 8), np.float32)
+    starts = np.array([[0, 0], [7, 7]], np.int32)
+    goals = np.array([[0, 3], [7, 4]], np.int32)
+    case = SimCase(grid=jnp.array(grid), starts=jnp.array(starts),
+                   goals=jnp.array(goals),
+                   target_makespan=jnp.asarray(3, np.int32),
+                   target_flowtime=jnp.asarray(6, np.int32))
+
+    def greedy(obs, gso):
+        goal_ch = obs[..., 1, :, :].reshape(*obs.shape[:2], 121)
+        idx = jnp.argmax(goal_ch, axis=-1)
+        gi, gj = idx // 11 - 5, idx % 11 - 5
+        act = jnp.where(gi < 0, 0, jnp.where(gi > 0, 2,
+              jnp.where(gj < 0, 1, jnp.where(gj > 0, 3, 4))))
+        return jax.nn.one_hot(act, 5) * 10.0
+
+    out = rollout(greedy, case, max_steps=6, comm_radius=6.0,
+                  key=jax.random.PRNGKey(0), record_paths=True)
+    paths = np.asarray(out.paths)
+    gso_seq = gso_sequence_from_paths(paths, 6.0)
+    arts = save_rollout_case(tmp_path, 7, "success", grid, starts, goals,
+                             paths, out.metrics,
+                             target_schedule=paths, gso_seq=gso_seq,
+                             comm_radius=6.0)
+    assert arts["input"].exists() and arts["predict"].exists()
+    # the exported schedule round-trips through the YAML loader
+    sched = load_schedule_yaml(arts["predict"])
+    np.testing.assert_array_equal(sched, paths)
+    # and the CLI renders an animation from the artifacts
+    video = tmp_path / "out.gif"
+    rc = viz_main(["--map", str(arts["input"]),
+                   "--schedule", str(arts["predict"]),
+                   "--GSO", str(arts["gso"]),
+                   "--id_chosenAgent", "0", "--video", str(video),
+                   "--speed", "5"])
+    assert rc == 0 and video.exists() and video.stat().st_size > 0
