@@ -112,7 +112,8 @@ class CaseDataset:
         return dict(
             grid=self.grids[:c], starts=self.states[:c, 0],
             goals=self.goals[:c], target_makespan=self.target_makespan[:c],
-            target_flowtime=self.target_flowtime[:c])
+            target_flowtime=self.target_flowtime[:c],
+            solution_makespan=self.makespans[:c])
 
 
 def _scan_dir(path: Path, exts=(".npz", ".mat")) -> list[Path]:

@@ -62,8 +62,14 @@ class SimCase(NamedTuple):
     grid: jax.Array            # [W, H] float32, 1 = obstacle
     starts: jax.Array          # [N, 2] int32
     goals: jax.Array           # [N, 2] int32
-    target_makespan: jax.Array  # scalar int32 (expert)
+    target_makespan: jax.Array  # scalar int32 (expert, replayed: max end - min start)
     target_flowtime: jax.Array  # scalar int32 (expert)
+    # Expert solution length (the filename "MP" value). The reference derives
+    # maxstep from THIS (the loader's id_step, decentralplannerlocal.py:535 +
+    # multirobotsim :76-81), not from the replayed target makespan — they
+    # differ when agents start moving late. None falls back to
+    # target_makespan.
+    solution_makespan: jax.Array | None = None
 
 
 class SimState(NamedTuple):
@@ -258,7 +264,9 @@ def rollout_batch(policy: Callable, cases: SimCase, max_steps: int,
     """
     n = cases.starts.shape[-2]
     rate = 3 if n >= 20 else rate_maxstep
-    maxstep = (cases.target_makespan.astype(jnp.int32) * rate)
+    base = (cases.solution_makespan if cases.solution_makespan is not None
+            else cases.target_makespan)
+    maxstep = (base.astype(jnp.int32) * rate)
 
     state = jax.vmap(_init_state)(cases)
     # t=0 radius growth from start positions (:334-340), fixed afterwards.

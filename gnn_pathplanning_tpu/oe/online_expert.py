@@ -124,9 +124,10 @@ class OnlineExpertTrainer(Trainer):
             grid=jnp.asarray(arrs["grid"]), starts=jnp.asarray(arrs["starts"]),
             goals=jnp.asarray(arrs["goals"]),
             target_makespan=jnp.asarray(arrs["target_makespan"]),
-            target_flowtime=jnp.asarray(arrs["target_flowtime"]))
+            target_flowtime=jnp.asarray(arrs["target_flowtime"]),
+            solution_makespan=jnp.asarray(arrs["solution_makespan"]))
         rate = 3 if ds.num_agents >= 20 else self.cfg.rate_maxstep
-        max_steps = int(arrs["target_makespan"].max()) * rate
+        max_steps = int(arrs["solution_makespan"].max()) * rate
         out = rollout_batch(self.policy(), cases, max_steps,
                             self.cfg.comm_radius,
                             jax.random.PRNGKey(self.cfg.seed + epoch),

@@ -75,13 +75,27 @@ class PerformanceRecorder:
 
 
 class MetricsLogger:
-    """Append-only JSONL metrics stream (training loss, epoch summaries)."""
+    """Append-only JSONL metrics stream (training loss, epoch summaries),
+    optionally mirrored to TensorBoard scalars with the reference's
+    ``epoch/{label}_...`` naming style (utils/metrics.py:182-223)."""
 
-    def __init__(self, path: str | Path):
+    def __init__(self, path: str | Path, tensorboard: bool = False):
         self.path = Path(path)
         self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(log_dir=str(self.path.parent / "tb"))
+            except Exception:
+                self._tb = None
 
     def log(self, kind: str, step: int, **values) -> None:
         rec = {"kind": kind, "step": int(step), "time": time.time(), **values}
         with open(self.path, "a") as f:
             f.write(json.dumps(rec, default=float) + "\n")
+        if self._tb is not None:
+            for k, v in values.items():
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    self._tb.add_scalar(f"{kind}/{k}", v, step)
+            self._tb.flush()

@@ -265,10 +265,11 @@ class Trainer:
             starts=jnp.asarray(arrs["starts"]),
             goals=jnp.asarray(arrs["goals"]),
             target_makespan=jnp.asarray(arrs["target_makespan"]),
-            target_flowtime=jnp.asarray(arrs["target_flowtime"]))
+            target_flowtime=jnp.asarray(arrs["target_flowtime"]),
+            solution_makespan=jnp.asarray(arrs["solution_makespan"]))
         n = ds.num_agents
         rate = 3 if n >= 20 else self.cfg.rate_maxstep
-        max_steps = int(arrs["target_makespan"].max()) * rate
+        max_steps = int(arrs["solution_makespan"].max()) * rate
         out = rollout_batch(self.policy(), cases, max_steps,
                             self.cfg.comm_radius,
                             jax.random.PRNGKey(self.cfg.seed),
