@@ -181,6 +181,10 @@ class Trainer:
         self.logger = MetricsLogger(self.exp_dir / "metrics.jsonl")
         self.rng = np.random.RandomState(cfg.seed)
         self.best_reach_rate = -1.0
+        # per-phase wall-time accounting (reference per-phase time record,
+        # decentralplannerlocal.py:537-592)
+        from .profiling import PhaseTimer
+        self.timer = PhaseTimer()
 
         key = jax.random.PRNGKey(cfg.seed)
         n = train_set.num_agents if train_set else 10
@@ -218,12 +222,13 @@ class Trainer:
             opt_state=set_lr(self.state.opt_state, lr),
             epoch=jnp.asarray(epoch, jnp.int32))
         losses = []
-        for batch in self.train_set.batches(self.cfg.batch_size, self.rng):
-            self.state, loss = self.train_step(
-                self.state, jnp.asarray(batch.grids), jnp.asarray(batch.goals),
-                jnp.asarray(batch.pos), jnp.asarray(batch.actions),
-                jnp.asarray(batch.radius))
-            losses.append(loss)
+        with self.timer.phase("train_epoch"):
+            for batch in self.train_set.batches(self.cfg.batch_size, self.rng):
+                self.state, loss = self.train_step(
+                    self.state, jnp.asarray(batch.grids),
+                    jnp.asarray(batch.goals), jnp.asarray(batch.pos),
+                    jnp.asarray(batch.actions), jnp.asarray(batch.radius))
+                losses.append(loss)
         mean_loss = float(jnp.stack(losses).mean()) if losses else float("nan")
         self.logger.log("train_epoch", epoch, loss=mean_loss, lr=float(lr))
         return mean_loss
@@ -270,15 +275,19 @@ class Trainer:
         n = ds.num_agents
         rate = 3 if n >= 20 else self.cfg.rate_maxstep
         max_steps = int(arrs["solution_makespan"].max()) * rate
-        out = rollout_batch(self.policy(), cases, max_steps,
-                            self.cfg.comm_radius,
-                            jax.random.PRNGKey(self.cfg.seed),
-                            self.cfg.rate_maxstep)
+        with self.timer.phase("rollout_validation"):
+            out = rollout_batch(self.policy(), cases, max_steps,
+                                self.cfg.comm_radius,
+                                jax.random.PRNGKey(self.cfg.seed),
+                                self.cfg.rate_maxstep)
+            jax.block_until_ready(out.metrics.all_reached)
         rec = PerformanceRecorder(n)
         rec.update_from_rollout(out.metrics)
         summary = rec.summary()
+        summary["phase_times"] = self.timer.summary()
         self.logger.log(f"{label}_rollout", int(self.state.epoch), **{
-            k: v for k, v in summary.items() if not isinstance(v, list)})
+            k: v for k, v in summary.items()
+            if not isinstance(v, (list, dict))})
         return summary
 
     def run(self, max_epoch: int | None = None) -> dict:

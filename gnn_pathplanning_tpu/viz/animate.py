@@ -208,6 +208,38 @@ def draw_paths_figure(grid: np.ndarray, predicted: np.ndarray,
     return out_path
 
 
+def render_result_dir(result_dir: str | Path, out_dir: str | Path,
+                      k_hops: int = 3, chosen_agent: int | None = 0,
+                      fps: int = 10, limit: int | None = None) -> list[Path]:
+    """Batch movie generation over a rollout-artifact directory (the
+    capability of the reference's gen_movie*.py drivers): expects the
+    ``input/ predict/ GSO/`` layout written by env.export.save_rollout_case
+    and renders one animation per case."""
+    result_dir = Path(result_dir)
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    outputs = []
+    cases = sorted((result_dir / "input").glob("*.yaml"))
+    if limit is not None:
+        cases = cases[:limit]
+    for case_path in cases:
+        stem = case_path.stem
+        sched_path = result_dir / "predict" / f"{stem}.yaml"
+        if not sched_path.exists():
+            continue
+        case = load_case_yaml(case_path)
+        schedule = load_schedule_yaml(sched_path)
+        gso_seq = None
+        gso_path = result_dir / "GSO" / f"{stem}.npz"
+        if gso_path.exists():
+            with np.load(gso_path) as z:
+                gso_seq = z["gso"].reshape(-1, *z["gso"].shape[-2:])
+        anim = Animation(case["grid"], case["goals"], schedule, gso_seq,
+                         k_hops=k_hops, chosen_agent=chosen_agent)
+        outputs.append(anim.render(out_dir / f"{stem}.gif", fps=fps))
+    return outputs
+
+
 def main(argv=None):
     """CLI mirroring the reference visualizer
     (utils/visualize.py:305-313): --map case.yaml --schedule sol.yaml
