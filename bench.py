@@ -60,6 +60,14 @@ def make_cases(rng: np.random.RandomState):
 
 def main() -> None:
     import jax
+    # Persistent compilation cache: first-compile of the rollout program over
+    # the tunneled TPU costs minutes; subsequent bench runs reuse it.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          str(REPO / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from gnn_pathplanning_tpu.env.simulator import rollout_batch
     from gnn_pathplanning_tpu.models import DCPConfig, DCPNet
