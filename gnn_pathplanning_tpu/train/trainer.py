@@ -290,6 +290,42 @@ class Trainer:
             if not isinstance(v, (list, dict))})
         return summary
 
+    def export_rollouts(self, dataset: CaseDataset, out_dir: str | Path,
+                        limit: int = 10) -> int:
+        """Roll out `limit` cases and write the animation artifact set
+        (input/predict/target YAML + GSO) — the reference's
+        ``log_anime``/``save_success_cases`` capability
+        (decentralplannerlocal.py:615-626). Returns #cases written."""
+        from ..env.export import gso_sequence_from_paths, save_rollout_case
+        arrs = dataset.sim_cases(limit=limit)
+        cases = SimCase(
+            grid=jnp.asarray(arrs["grid"]), starts=jnp.asarray(arrs["starts"]),
+            goals=jnp.asarray(arrs["goals"]),
+            target_makespan=jnp.asarray(arrs["target_makespan"]),
+            target_flowtime=jnp.asarray(arrs["target_flowtime"]),
+            solution_makespan=jnp.asarray(arrs["solution_makespan"]))
+        n = dataset.num_agents
+        rate = 3 if n >= 20 else self.cfg.rate_maxstep
+        max_steps = int(arrs["solution_makespan"].max()) * rate
+        out = rollout_batch(self.policy(), cases, max_steps,
+                            self.cfg.comm_radius,
+                            jax.random.PRNGKey(self.cfg.seed),
+                            self.cfg.rate_maxstep, record_paths=True)
+        count = 0
+        for i in range(out.paths.shape[0]):
+            m = jax.tree.map(lambda x: x[i], out.metrics)
+            paths = np.asarray(out.paths[i])
+            mode = "success" if bool(m.all_reached) else "failure"
+            target = dataset.states[i]  # [T_max+1, N, 2] padded at goal
+            save_rollout_case(
+                out_dir, i, mode, arrs["grid"][i], arrs["starts"][i],
+                arrs["goals"][i], paths, m,
+                target_schedule=target,
+                gso_seq=gso_sequence_from_paths(paths, float(m.comm_radius)),
+                comm_radius=float(m.comm_radius))
+            count += 1
+        return count
+
     def run(self, max_epoch: int | None = None) -> dict:
         """Full training loop with validation cadence + checkpointing."""
         max_epoch = max_epoch or self.cfg.max_epoch

@@ -92,3 +92,11 @@ def test_validate_step_accuracy(trainer):
     s = trainer.validate_step(trainer.train_set, batch_size=8, max_batches=5)
     assert np.isfinite(s["step_loss"])
     assert 0.0 <= s["step_accuracy"] <= 1.0
+
+
+def test_export_rollouts(trainer, tmp_path):
+    n = trainer.export_rollouts(trainer.valid_set, tmp_path / "anime", limit=2)
+    assert n == 2
+    files = list((tmp_path / "anime" / "predict").glob("*.yaml"))
+    assert len(files) == 2
+    assert (tmp_path / "anime" / "GSO").exists()
