@@ -106,3 +106,18 @@ def test_infeasible_case_fails_cleanly():
     goals = np.array([[2, 2]])
     res = solve_case(grid, starts, goals, algo="cbs", timeout=10)
     assert not res.ok
+
+
+def test_adaptive_w_fallback():
+    """The hard-case class where w=1.1 blows the expansion cap gets solved
+    by the looser retries instead of being dropped."""
+    from gnn_pathplanning_tpu.data import generate_case_pool
+    pool = generate_case_pool(5, 4, 20, 20, 10, complexity=0.02,
+                              density=0.25, seed=777)
+    g, s, gl = pool.grids[10], pool.starts[10], pool.goals[10]
+    strict = solve_case(g, s, gl, algo="ecbs", w=1.1, timeout=20)
+    adaptive = solve_case(g, s, gl, algo="ecbs", w=1.1, timeout=40,
+                          adaptive_w=True)
+    assert adaptive.ok
+    if not strict.ok:  # expected on this instance
+        assert_valid(adaptive, g, s, gl)
