@@ -50,7 +50,7 @@ import jax.numpy as jnp
 
 from ..ops.fov import render_fov
 from ..ops.gso import (adjacency_from_positions, grow_radius_until_connected,
-                       is_connected, normalize_adjacency)
+                       normalize_adjacency)
 
 # Action deltas, order matching the reference (:22-26).
 DELTAS = jnp.array([[-1, 0], [0, -1], [1, 0], [0, 1], [0, 0]], jnp.int32)

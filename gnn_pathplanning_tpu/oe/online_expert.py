@@ -26,7 +26,7 @@ from pathlib import Path
 import numpy as np
 
 from ..data.cases import CasePool
-from ..data.dataset import CaseDataset, load_split
+from ..data.dataset import load_split
 from ..data.solvers import ExpertSolver
 from ..data.transform import record_from_solution, save_record
 from ..train.trainer import Trainer

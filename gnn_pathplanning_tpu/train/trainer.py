@@ -17,9 +17,7 @@ Capability parity with the reference agent
 from __future__ import annotations
 
 import dataclasses
-import math
 import time
-from functools import partial
 from pathlib import Path
 from typing import Callable
 
@@ -28,9 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..data.dataset import Batch, CaseDataset
+from ..data.dataset import CaseDataset
 from ..env.simulator import SimCase, rollout_batch
-from ..models.dcp import DCPConfig, DCPNet
+from ..models.dcp import DCPNet
 from ..ops.fov import render_fov
 from ..ops.gso import adjacency_from_positions, normalize_adjacency
 from .checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
