@@ -200,3 +200,29 @@ def test_rollout_agents_can_leave_goal_but_stay_latched():
     assert int(m.num_agents_reached) == 1
     # done latched at step 1 -> rollout stops stepping
     assert int(m.steps) == 1
+
+
+def test_shield_invariants_random(rng):
+    """Property test: after shielding — no vertex conflicts, no swaps, and
+    every agent either keeps its proposal or reverts to its current cell."""
+    for trial in range(20):
+        n = rng.randint(2, 12)
+        # distinct current positions on a small grid
+        cells = rng.choice(36, size=n, replace=False)
+        cur = np.stack([cells // 6, cells % 6], -1).astype(np.int32)
+        deltas = np.array([[-1, 0], [0, -1], [1, 0], [0, 1], [0, 0]])
+        prop = cur + deltas[rng.randint(0, 5, size=n)]
+        nxt, shielded, unresolved = collision_shield(
+            jnp.array(cur), jnp.array(prop), jax.random.PRNGKey(trial))
+        nxt = np.asarray(nxt)
+        assert not bool(unresolved)
+        # no vertex conflicts
+        assert len({tuple(p) for p in nxt}) == n
+        # no swaps
+        for i in range(n):
+            for j in range(i + 1, n):
+                assert not ((nxt[i] == cur[j]).all() and (nxt[j] == cur[i]).all()
+                            and (nxt[i] != cur[i]).any())
+        # each agent: proposal or revert
+        for i in range(n):
+            assert (nxt[i] == prop[i]).all() or (nxt[i] == cur[i]).all()
