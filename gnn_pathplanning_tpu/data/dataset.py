@@ -121,8 +121,14 @@ def _scan_dir(path: Path, exts=(".npz", ".mat")) -> list[Path]:
 
 
 def load_split(dir_path: str | Path, limit: int | None = None,
-               extra_dirs: Sequence[str | Path] = ()) -> CaseDataset:
-    """Load every record under ``dir_path`` (plus online-expert extras)."""
+               extra_dirs: Sequence[str | Path] = (),
+               shard_index: int = 0, num_shards: int = 1) -> CaseDataset:
+    """Load every record under ``dir_path`` (plus online-expert extras).
+
+    ``shard_index``/``num_shards`` give per-host dataset sharding for
+    multi-host training (each host loads a disjoint stride of the file
+    list); pass ``jax.process_index()`` / ``jax.process_count()``.
+    """
     files: list[Path] = _scan_dir(Path(dir_path))
     for extra in extra_dirs:
         p = Path(extra)
@@ -130,6 +136,8 @@ def load_split(dir_path: str | Path, limit: int | None = None,
             files += _scan_dir(p)
     if limit is not None:
         files = files[:limit]
+    if num_shards > 1:
+        files = files[shard_index::num_shards]
     records = []
     for f in files:
         records.append(load_record(f) if f.suffix == ".npz"

@@ -99,3 +99,37 @@ def test_sharded_filter_end_to_end(mesh_agents, rng):
     got = np.asarray(graph_filter_sharded(mesh_agents, jnp.array(x), s_sh,
                                           jnp.array(w), None))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_multihost_helpers_single_process(mesh8, tmp_path, rng):
+    """Single-process exercise of the multi-host recipe: initialize no-op,
+    per-host dataset sharding, global batch assembly."""
+    from gnn_pathplanning_tpu.parallel.multihost import global_batch, initialize
+    from gnn_pathplanning_tpu.data import load_split
+    from gnn_pathplanning_tpu.data.transform import CaseRecord, save_record
+
+    idx, count = initialize()
+    assert idx == 0 and count == 1
+
+    # dataset sharding: 6 records, 3 shards -> 2 each, disjoint
+    d = tmp_path / "train"
+    d.mkdir()
+    for i in range(6):
+        states = np.tile(np.array([[[1 + i, 1]]], np.int16), (3, 1, 1))
+        states[1, 0, 1] = 2
+        states[2, 0, 1] = 3
+        rec = CaseRecord(grid=np.zeros((8, 8), np.uint8),
+                         goals=states[-1].astype(np.int16), states=states,
+                         actions=np.full((2, 1), 3, np.int8), radius=6.0,
+                         makespan=2, target_makespan=2, target_flowtime=2)
+        save_record(d / f"train_IDMap0_IDCase{i}_MP2.npz", rec)
+    shards = [load_split(d, shard_index=s, num_shards=3) for s in range(3)]
+    assert all(s.num_cases == 2 for s in shards)
+    starts = {tuple(s.states[c, 0, 0]) for s in shards for c in range(2)}
+    assert len(starts) == 6  # disjoint coverage
+
+    # global batch assembly (1 process -> identity, but sharded placement)
+    local = {"pos": rng.randint(0, 8, (16, 4, 2)).astype(np.int32)}
+    global_arrays = global_batch(mesh8, local)
+    assert global_arrays["pos"].shape == (16, 4, 2)
+    np.testing.assert_array_equal(np.asarray(global_arrays["pos"]), local["pos"])
