@@ -92,13 +92,17 @@ def _render_one(map_pad: jax.Array, occ_pad: jax.Array, pos: jax.Array,
     return jnp.stack([_embed(crop_map), channel_goal, _embed(crop_occ)])
 
 
-def render_fov(grid: jax.Array, pos: jax.Array, goal: jax.Array) -> jax.Array:
-    """Render all agents' observations for one world state.
+def render_fov(grid: jax.Array, pos: jax.Array, goal: jax.Array,
+               occupancy_pos: jax.Array | None = None) -> jax.Array:
+    """Render agents' observations for one world state.
 
     Args:
       grid: global obstacle map ``[W, H]`` (1 = obstacle).
-      pos: agent positions ``[N, 2]`` int32.
-      goal: agent goals ``[N, 2]`` int32.
+      pos: positions of the agents to render ``[N, 2]`` int32.
+      goal: their goals ``[N, 2]`` int32.
+      occupancy_pos: positions marked on the other-agents channel; defaults
+        to ``pos``. Under agent partitioning pass the all-gathered global
+        positions here while rendering only the local shard's agents.
 
     Returns:
       ``[N, 3, 11, 11]`` float32 observations, channels
@@ -107,9 +111,10 @@ def render_fov(grid: jax.Array, pos: jax.Array, goal: jax.Array) -> jax.Array:
     grid = grid.astype(jnp.float32)
     pos = pos.astype(jnp.int32)
     goal = goal.astype(jnp.int32)
+    occ_src = pos if occupancy_pos is None else occupancy_pos.astype(jnp.int32)
 
     map_pad = jnp.pad(grid, FOV_WIDTH, constant_values=1.0)
-    occ = jnp.zeros_like(grid).at[pos[:, 0], pos[:, 1]].set(1.0)
+    occ = jnp.zeros_like(grid).at[occ_src[:, 0], occ_src[:, 1]].set(1.0)
     occ_pad = jnp.pad(occ, FOV_WIDTH, constant_values=0.0)
 
     return jax.vmap(_render_one, in_axes=(None, None, 0, 0))(
