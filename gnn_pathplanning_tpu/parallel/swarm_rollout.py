@@ -127,7 +127,7 @@ def swarm_rollout(mesh: Mesh, variables, grid: jax.Array, starts: jax.Array,
         # the fresh zeros carry must be marked axis-varying to match the
         # per-shard outputs of the scan body
         init = (starts_loc.astype(jnp.int32),
-                jax.lax.pvary(jnp.zeros((n_loc,), bool), (axis,)))
+                jax.lax.pcast(jnp.zeros((n_loc,), bool), (axis,), to="varying"))
         (pos_loc, reached_loc), path_loc = jax.lax.scan(step_fn, init, keys)
         return pos_loc, reached_loc, path_loc
 
