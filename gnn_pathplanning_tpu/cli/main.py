@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_root", type=str, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--online_expert", action="store_true", default=None)
+    p.add_argument("--train_TL", action="store_true", default=None,
+                   help="transfer learning: freeze all but GFL/action params")
+    p.add_argument("--pretrained", type=str, default=None,
+                   help="checkpoint to initialize from (for --train_TL)")
     p.add_argument("--con_train", action="store_true", default=None)
     p.add_argument("--best_epoch", action="store_true", default=None)
     p.add_argument("--test_epoch", type=int, default=None)
@@ -55,8 +59,9 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from ..utils.config import load_config, process_config
     overrides = {k: v for k, v in vars(args).items()
-                 if k not in ("config", "test_checkpoint", "num_maps",
-                              "cases_per_map", "solver", "workers")}
+                 if k not in ("config", "test_checkpoint", "pretrained",
+                              "num_maps", "cases_per_map", "solver",
+                              "workers")}
     cfg = load_config(args.config, overrides)
     np.random.seed(cfg.seed)
 
@@ -92,15 +97,26 @@ def main(argv=None) -> int:
         train_set = load_split(f"{cfg.dataset_root}/train")
         valid_set = load_split(f"{cfg.dataset_root}/valid",
                                limit=cfg.num_validset)
+        # transfer learning (reference --train_TL): freeze everything but the
+        # graph filter and action head (decentralplannerlocal.py:168-179)
+        trainable_filter = None
+        if cfg.train_TL:
+            from ..train.trainer import tl_trainable
+            trainable_filter = tl_trainable
         if cfg.online_expert:
             from ..oe.online_expert import OnlineExpertConfig, OnlineExpertTrainer
             trainer = OnlineExpertTrainer(
                 model, tcfg, cfg.exp_dir, train_set, valid_set,
+                trainable_filter=trainable_filter,
                 oe_cfg=OnlineExpertConfig(start_epoch=cfg.Start_onlineExpert,
                                           num_rollouts=cfg.num_test_trainingSet),
                 train_dir=f"{cfg.dataset_root}/train")
         else:
-            trainer = Trainer(model, tcfg, cfg.exp_dir, train_set, valid_set)
+            trainer = Trainer(model, tcfg, cfg.exp_dir, train_set, valid_set,
+                              trainable_filter=trainable_filter)
+        if args.pretrained:
+            from ..train.checkpoint import load_checkpoint
+            trainer.state, _ = load_checkpoint(args.pretrained, trainer.state)
         if cfg.con_train:
             trainer.try_resume("latest")
         summary = trainer.run()

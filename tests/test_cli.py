@@ -45,3 +45,19 @@ def test_cli_full_cycle(tmp_path, capsys):
     assert main(base + ["--mode", "test", "--test_checkpoint", ckpts[0]]) == 0
     out = capsys.readouterr().out
     assert "rate_ReachGoal" in out
+
+
+def test_cli_transfer_learning(tmp_path):
+    data_root = str(tmp_path / "data")
+    save_root = str(tmp_path / "exp")
+    base = ["--data_root", data_root, "--save_root", save_root,
+            "--map_w", "10", "--map_h", "10", "--num_agents", "3",
+            "--num_validset", "2", "--batch_size", "8", "--max_epoch", "1",
+            "--nGraphFilterTaps", "2"]
+    assert main(base + ["--mode", "gen_data", "--num_maps", "2",
+                        "--cases_per_map", "3", "--workers", "1"]) == 0
+    assert main(base + ["--mode", "train"]) == 0
+    import glob
+    ckpt = glob.glob(f"{save_root}/**/checkpoint.msgpack", recursive=True)[0]
+    assert main(base + ["--mode", "train", "--train_TL",
+                        "--pretrained", ckpt]) == 0
