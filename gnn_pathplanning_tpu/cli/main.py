@@ -115,8 +115,9 @@ def main(argv=None) -> int:
             trainer = Trainer(model, tcfg, cfg.exp_dir, train_set, valid_set,
                               trainable_filter=trainable_filter)
         if args.pretrained:
-            from ..train.checkpoint import load_checkpoint
-            trainer.state, _ = load_checkpoint(args.pretrained, trainer.state)
+            from ..train.checkpoint import load_pretrained_params
+            trainer.state = load_pretrained_params(args.pretrained,
+                                                   trainer.state)
         if cfg.con_train:
             trainer.try_resume("latest")
         summary = trainer.run()

@@ -58,3 +58,16 @@ def load_checkpoint(path: str | Path, target):
     if _meta_path(path).exists():
         meta = json.loads(_meta_path(path).read_text())
     return state, meta
+
+
+def load_pretrained_params(path: str | Path, state):
+    """Restore only params + batch_stats from a checkpoint into ``state``,
+    leaving the optimizer state untouched — the transfer-learning load path
+    (the reference loads a pretrained state_dict then freezes layers,
+    decentralplannerlocal.py:168-179; a TL optimizer has a different opt
+    state structure so a full restore is impossible)."""
+    raw = serialization.msgpack_restore(Path(path).read_bytes())
+    params = serialization.from_state_dict(state.params, raw["params"])
+    batch_stats = serialization.from_state_dict(state.batch_stats,
+                                                raw["batch_stats"])
+    return state.replace(params=params, batch_stats=batch_stats)
