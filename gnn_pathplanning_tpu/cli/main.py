@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pretrained", type=str, default=None,
                    help="checkpoint to initialize from (for --train_TL)")
     p.add_argument("--con_train", action="store_true", default=None)
+    p.add_argument("--log_time_trained", type=str, default=None,
+                   help="existing experiment timestamp to resume into "
+                        "(reference main.py:45 flag)")
     p.add_argument("--best_epoch", action="store_true", default=None)
     p.add_argument("--test_epoch", type=int, default=None)
     p.add_argument("--test_checkpoint", type=str, default=None,
@@ -61,7 +64,7 @@ def main(argv=None) -> int:
     overrides = {k: v for k, v in vars(args).items()
                  if k not in ("config", "test_checkpoint", "pretrained",
                               "num_maps", "cases_per_map", "solver",
-                              "workers")}
+                              "workers", "log_time_trained")}
     cfg = load_config(args.config, overrides)
     np.random.seed(cfg.seed)
 
@@ -78,7 +81,8 @@ def main(argv=None) -> int:
         print("generated:", counts)
         return 0
 
-    cfg = process_config(cfg)
+    timestamp = int(args.log_time_trained) if args.log_time_trained else None
+    cfg = process_config(cfg, timestamp=timestamp)
     log = logging.getLogger("main")
 
     from ..data.dataset import load_split
