@@ -142,3 +142,24 @@ def test_vgg_variant_builds_and_runs():
                       jnp.zeros((2, 4, 4)))
     assert out.shape == (2, 4, 5)
     assert any(k.startswith("vgg_conv") for k in variables["params"])
+
+
+def test_bfloat16_inference_path():
+    """bf16 forward runs and agrees with f32 on argmax for well-separated
+    logits (the TPU-native inference dtype)."""
+    import jax
+    import numpy as np
+    f32 = DCPNet(DCPConfig(num_taps=2))
+    variables = f32.init_variables(jax.random.PRNGKey(0), num_agents=4)
+    bf16 = DCPNet(DCPConfig(num_taps=2, dtype=jnp.bfloat16))
+    rng = np.random.RandomState(0)
+    obs = jnp.asarray((rng.rand(4, 4, 3, 11, 11) < 0.2).astype(np.float32))
+    gso = jnp.zeros((4, 4, 4))
+    out32 = np.asarray(f32.apply(variables, obs, gso))
+    out16 = np.asarray(bf16.apply(variables, obs, gso)).astype(np.float32)
+    assert out16.shape == out32.shape
+    # argmax agreement wherever the f32 margin is non-trivial
+    margin = np.sort(out32, -1)[..., -1] - np.sort(out32, -1)[..., -2]
+    confident = margin > 0.05
+    np.testing.assert_array_equal(out16.argmax(-1)[confident],
+                                  out32.argmax(-1)[confident])
