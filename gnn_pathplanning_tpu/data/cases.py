@@ -19,7 +19,8 @@ import numpy as np
 
 from .mapgen import generate_map, random_start_goal_pairs
 from .solvers import ExpertSolver
-from .transform import CaseRecord, record_from_solution, save_record
+from .transform import (CaseRecord, agent_hash_ids,
+                        record_from_solution, save_record)
 
 
 @dataclasses.dataclass
@@ -79,6 +80,7 @@ def solve_and_save(pool: CasePool, out_dir: str | Path, split: str,
         if schedule.shape[0] - 1 < min_makespan:
             continue  # degenerate: everyone already at goal
         rec = record_from_solution(grid, goals, schedule, comm_radius)
+        rec.hash_ids = agent_hash_ids(m, c, rec.num_agents)
         save_record(out / f"{split}_IDMap{m}_IDCase{c}_MP{rec.makespan}.npz",
                     rec)
         saved += 1

@@ -60,10 +60,22 @@ class CaseRecord:
     makespan: int          # T (solution makespan)
     target_makespan: int   # replayed metric (max end - min start)
     target_flowtime: int   # replayed metric (sum of end - start)
+    hash_ids: np.ndarray | None = None  # [N] per-agent sha256-derived ids
 
     @property
     def num_agents(self) -> int:
         return self.goals.shape[0]
+
+
+def agent_hash_ids(map_id: int, case_id: int, num_agents: int) -> np.ndarray:
+    """Per-agent sha256-derived ids (reference DataGen_Transformer.py:287-289:
+    int(sha256(f'{map}_{case}_{agent}').hexdigest(), 16) % 10**5)."""
+    import hashlib
+    out = np.zeros((num_agents,), np.int64)
+    for a in range(num_agents):
+        s = f"{map_id}_{case_id}_{a}".encode()
+        out[a] = int(hashlib.sha256(s).hexdigest(), 16) % (10 ** 5)
+    return out
 
 
 def actions_from_states(states: np.ndarray) -> np.ndarray:
@@ -127,12 +139,15 @@ def record_from_solution(grid: np.ndarray, goals: np.ndarray,
 
 
 def save_record(path: str | Path, rec: CaseRecord) -> None:
+    extra = {}
+    if rec.hash_ids is not None:
+        extra["hash_ids"] = rec.hash_ids
     np.savez_compressed(
         path, grid=rec.grid, goals=rec.goals, states=rec.states,
         actions=rec.actions, radius=np.float64(rec.radius),
         makespan=np.int32(rec.makespan),
         target_makespan=np.int32(rec.target_makespan),
-        target_flowtime=np.int32(rec.target_flowtime))
+        target_flowtime=np.int32(rec.target_flowtime), **extra)
 
 
 def load_record(path: str | Path) -> CaseRecord:
@@ -142,7 +157,8 @@ def load_record(path: str | Path) -> CaseRecord:
             actions=z["actions"], radius=float(z["radius"]),
             makespan=int(z["makespan"]),
             target_makespan=int(z["target_makespan"]),
-            target_flowtime=int(z["target_flowtime"]))
+            target_flowtime=int(z["target_flowtime"]),
+            hash_ids=z["hash_ids"] if "hash_ids" in z.files else None)
 
 
 def load_reference_mat(path: str | Path) -> CaseRecord:

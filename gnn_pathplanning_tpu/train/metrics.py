@@ -74,6 +74,19 @@ class PerformanceRecorder:
         }
 
 
+def save_statistics_mat(path, summary: dict, config_meta: dict | None = None
+                        ) -> None:
+    """Write a summary as the reference's ``.mat`` statistics archive
+    (utils/metrics.py:235-288 ``save_statistics``) so the reference's
+    statistic_analysis scripts can consume runs from this framework
+    directly. ``config_meta`` supplies the experiment-identity keys
+    (exp_net, commRadius, K, map/agent setup...)."""
+    import scipy.io as sio
+    rec = dict(config_meta or {})
+    rec.update({k: v for k, v in summary.items() if v is not None})
+    sio.savemat(path, rec)
+
+
 class MetricsLogger:
     """Append-only JSONL metrics stream (training loss, epoch summaries),
     optionally mirrored to TensorBoard scalars with the reference's

@@ -126,3 +126,28 @@ def test_reference_mat_compat(tmp_path, rng):
     np.testing.assert_array_equal(rec.states, states)
     np.testing.assert_array_equal(rec.actions, real_acts)
     assert rec.makespan == t
+
+
+def test_hash_ids_roundtrip(tmp_path):
+    from gnn_pathplanning_tpu.data.transform import agent_hash_ids
+    ids = agent_hash_ids(3, 7, 5)
+    assert ids.shape == (5,) and (ids >= 0).all() and (ids < 10 ** 5).all()
+    # deterministic and per-agent distinct with overwhelming likelihood
+    np.testing.assert_array_equal(ids, agent_hash_ids(3, 7, 5))
+    import hashlib
+    want = int(hashlib.sha256(b"3_7_2").hexdigest(), 16) % 10 ** 5
+    assert ids[2] == want
+
+
+def test_statistics_mat_archive(tmp_path):
+    import scipy.io as sio
+    from gnn_pathplanning_tpu.train.metrics import save_statistics_mat
+    summary = {"rate_ReachGoal": 0.9, "mean_deltaFT": 0.1,
+               "list_reachGoal": [1, 0, 1], "num_validset": 3}
+    meta = {"exp_net": "dcp", "commRadius": 6.0, "K": 3,
+            "num_agents_testing": 10}
+    p = tmp_path / "statistics_test.mat"
+    save_statistics_mat(p, summary, meta)
+    back = sio.loadmat(p)
+    assert float(back["rate_ReachGoal"]) == 0.9
+    assert back["exp_net"][0] == "dcp"
