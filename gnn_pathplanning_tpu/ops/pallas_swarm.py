@@ -93,25 +93,17 @@ def _pair_weights(xi, yi, vi, xj, yj, vj, r2):
     return w * vi[:, None] * vj[None, :]
 
 
-def _degree_kernel(mask_ref, r2_ref, px_ref, py_ref, vv_ref, out_ref):
-    # planes are unblocked [NB, BLOCK] VMEM arrays (tiny); rows are selected
-    # dynamically — TPU block shapes must be (8k, 128)-aligned OR whole-array,
-    # so whole-array + dynamic row reads is the legal layout here.
-    j, i = pl.program_id(0), pl.program_id(1)
-
-    @pl.when(i == 0)
-    def _():
-        out_ref[j, :] = jnp.zeros((BLOCK,), jnp.float32)
-
-    @pl.when(mask_ref[i, j] == 1)
-    def _():
-        w = _pair_weights(px_ref[i, :], py_ref[i, :], vv_ref[i, :],
-                          px_ref[j, :], py_ref[j, :], vv_ref[j, :],
-                          r2_ref[0])
-        out_ref[j, :] += jnp.sum(w, axis=0)
+# Agent-coordinate "planes" (x, y, valid) are stored as [NB * 8, BLOCK] with
+# each block's 128 lane values replicated across 8 sublane rows. This makes
+# every plane block a legal (8, 128) tile, so sender/receiver blocks arrive
+# via ordinary BlockSpec index maps — dynamic row reads from an unblocked
+# VMEM ref measure ~50 us EACH on v5e (they lower to DMAs), which dominated
+# the first version of these kernels (6 reads/step).
+_SUB = 8
 
 
-def _spmm_kernel(mask_ref, r2_ref, px_ref, py_ref, vv_ref, x_ref, out_ref):
+def _degree_kernel(mask_ref, r2_ref, pxi_ref, pyi_ref, vvi_ref,
+                   pxj_ref, pyj_ref, vvj_ref, out_ref):
     j, i = pl.program_id(0), pl.program_id(1)
 
     @pl.when(i == 0)
@@ -120,19 +112,42 @@ def _spmm_kernel(mask_ref, r2_ref, px_ref, py_ref, vv_ref, x_ref, out_ref):
 
     @pl.when(mask_ref[i, j] == 1)
     def _():
-        w = _pair_weights(px_ref[i, :], py_ref[i, :], vv_ref[i, :],
-                          px_ref[j, :], py_ref[j, :], vv_ref[j, :],
-                          r2_ref[0])
+        w = _pair_weights(pxi_ref[0], pyi_ref[0], vvi_ref[0],
+                          pxj_ref[0], pyj_ref[0], vvj_ref[0], r2_ref[0])
+        out_ref[0, :] += jnp.sum(w, axis=0)
+
+
+def _spmm_kernel(mask_ref, r2_ref, pxi_ref, pyi_ref, vvi_ref,
+                 pxj_ref, pyj_ref, vvj_ref, x_ref, out_ref):
+    j, i = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(mask_ref[i, j] == 1)
+    def _():
+        w = _pair_weights(pxi_ref[0], pyi_ref[0], vvi_ref[0],
+                          pxj_ref[0], pyj_ref[0], vvj_ref[0], r2_ref[0])
         out_ref[:] += jnp.dot(w.T, x_ref[:],
                               preferred_element_type=jnp.float32)
 
 
 def _planes(pos, valid):
+    """[NB * _SUB, BLOCK] sublane-replicated coordinate planes."""
     nb = pos.shape[0] // BLOCK
-    px = pos[:, 0].reshape(nb, BLOCK)
-    py = pos[:, 1].reshape(nb, BLOCK)
-    vv = valid.reshape(nb, BLOCK)
-    return px, py, vv
+    def rep(v):
+        return jnp.broadcast_to(v.reshape(nb, 1, BLOCK),
+                                (nb, _SUB, BLOCK)).reshape(nb * _SUB, BLOCK)
+    return rep(pos[:, 0]), rep(pos[:, 1]), rep(valid)
+
+
+def _plane_specs():
+    send = lambda: pl.BlockSpec((_SUB, BLOCK), lambda j, i: (i, 0),
+                                memory_space=pltpu.VMEM)
+    recv = lambda: pl.BlockSpec((_SUB, BLOCK), lambda j, i: (j, 0),
+                                memory_space=pltpu.VMEM)
+    return [send(), send(), send()], [recv(), recv(), recv()]
 
 
 def geometric_degrees(pos: jax.Array, radius, valid: jax.Array,
@@ -142,18 +157,19 @@ def geometric_degrees(pos: jax.Array, radius, valid: jax.Array,
     nb = n // BLOCK
     px, py, vv = _planes(pos, valid)
     r2 = (jnp.asarray(radius, jnp.float32) ** 2).reshape(1)
-    plane = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    send, recv = _plane_specs()
     out = pl.pallas_call(
         _degree_kernel,
         grid=(nb, nb),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  plane(), plane(), plane()],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, BLOCK), jnp.float32),
+                  *send, *recv],
+        out_specs=pl.BlockSpec((_SUB, BLOCK), lambda j, i: (j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * _SUB, BLOCK), jnp.float32),
         interpret=interpret,
-    )(mask, r2, px, py, vv)
-    return out.reshape(-1)
+    )(mask, r2, px, py, vv, px, py, vv)
+    return out.reshape(nb, _SUB, BLOCK)[:, 0].reshape(-1)
 
 
 def geometric_spmm(pos: jax.Array, x: jax.Array, radius, valid: jax.Array,
@@ -164,20 +180,20 @@ def geometric_spmm(pos: jax.Array, x: jax.Array, radius, valid: jax.Array,
     nb = n // BLOCK
     px, py, vv = _planes(pos, valid)
     r2 = (jnp.asarray(radius, jnp.float32) ** 2).reshape(1)
-    plane = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    send, recv = _plane_specs()
     out = pl.pallas_call(
         _spmm_kernel,
         grid=(nb, nb),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  plane(), plane(), plane(),
+                  *send, *recv,
                   pl.BlockSpec((BLOCK, g), lambda j, i: (i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((BLOCK, g), lambda j, i: (j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, g), jnp.float32),
         interpret=interpret,
-    )(mask, r2, px, py, vv, x)
+    )(mask, r2, px, py, vv, px, py, vv, x)
     return out
 
 
