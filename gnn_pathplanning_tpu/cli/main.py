@@ -134,6 +134,10 @@ def main(argv=None) -> int:
         trainer = Trainer(model, tcfg, cfg.exp_dir, valid_set=test_set)
         which = "best" if cfg.best_epoch else "latest"
         if args.test_checkpoint:
+            from pathlib import Path as _P
+            if not _P(args.test_checkpoint).exists():
+                log.error("checkpoint not found: %s", args.test_checkpoint)
+                return 1
             from ..train.checkpoint import load_checkpoint
             trainer.state, _ = load_checkpoint(args.test_checkpoint,
                                                trainer.state)

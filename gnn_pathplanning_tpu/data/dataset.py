@@ -138,6 +138,11 @@ def load_split(dir_path: str | Path, limit: int | None = None,
         files = files[:limit]
     if num_shards > 1:
         files = files[shard_index::num_shards]
+    if not files:
+        raise FileNotFoundError(
+            f"no case records (*.npz / *.mat) found under {dir_path!s}"
+            + (f" (+ extras {list(map(str, extra_dirs))})" if extra_dirs else "")
+            + " — generate a dataset first (cli --mode gen_data)")
     records = []
     for f in files:
         records.append(load_record(f) if f.suffix == ".npz"
