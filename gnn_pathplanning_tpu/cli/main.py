@@ -37,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_root", type=str, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--online_expert", action="store_true", default=None)
+    p.add_argument("--data_augment", action="store_true", default=None,
+                   help="D4 symmetry augmentation of training samples")
     p.add_argument("--train_TL", action="store_true", default=None,
                    help="transfer learning: freeze all but GFL/action params")
     p.add_argument("--pretrained", type=str, default=None,
@@ -94,7 +96,7 @@ def main(argv=None) -> int:
         max_epoch=cfg.max_epoch, batch_size=cfg.batch_size,
         validate_every=cfg.validate_every, comm_radius=cfg.commR,
         rate_maxstep=cfg.rate_maxstep, num_valid_rollouts=cfg.num_validset,
-        seed=cfg.seed)
+        seed=cfg.seed, augment=cfg.data_augment)
     model = DCPNet(DCPConfig(num_taps=cfg.nGraphFilterTaps))
 
     if cfg.mode == "train":

@@ -106,14 +106,21 @@ class CaseDataset:
                 break
             yield self.gather(self.sample_case[idx], self.sample_step[idx])
 
-    def sim_cases(self, limit: int | None = None):
-        """Case-level arrays for closed-loop evaluation (SimCase fields)."""
-        c = self.num_cases if limit is None else min(limit, self.num_cases)
+    def sim_cases(self, limit: int | None = None, indices=None):
+        """Case-level arrays for closed-loop evaluation (SimCase fields).
+
+        ``indices`` selects an explicit case subset (e.g. a random sample for
+        online-expert harvesting); otherwise the first ``limit`` cases.
+        """
+        if indices is None:
+            c = self.num_cases if limit is None else min(limit, self.num_cases)
+            indices = np.arange(c)
+        idx = np.asarray(indices)
         return dict(
-            grid=self.grids[:c], starts=self.states[:c, 0],
-            goals=self.goals[:c], target_makespan=self.target_makespan[:c],
-            target_flowtime=self.target_flowtime[:c],
-            solution_makespan=self.makespans[:c])
+            grid=self.grids[idx], starts=self.states[idx, 0],
+            goals=self.goals[idx], target_makespan=self.target_makespan[idx],
+            target_flowtime=self.target_flowtime[idx],
+            solution_makespan=self.makespans[idx])
 
 
 def _scan_dir(path: Path, exts=(".npz", ".mat")) -> list[Path]:

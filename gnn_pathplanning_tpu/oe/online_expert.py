@@ -119,7 +119,13 @@ class OnlineExpertTrainer(Trainer):
         import jax.numpy as jnp
 
         ds = self.train_set
-        arrs = ds.sim_cases(limit=self.oe_cfg.num_rollouts)
+        # Random training-set subset per harvest (the reference rolls its
+        # fixed test_trainingSet loader of num_test_trainingSet cases; a
+        # rotating sample sees strictly more of the training distribution).
+        rng = np.random.RandomState(self.cfg.seed + epoch)
+        k = min(self.oe_cfg.num_rollouts, ds.num_cases)
+        idx = rng.choice(ds.num_cases, size=k, replace=False)
+        arrs = ds.sim_cases(indices=idx)
         cases = SimCase(
             grid=jnp.asarray(arrs["grid"]), starts=jnp.asarray(arrs["starts"]),
             goals=jnp.asarray(arrs["goals"]),
@@ -141,29 +147,9 @@ class OnlineExpertTrainer(Trainer):
                         solved=saved, train_cases=self.train_set.num_cases)
         return saved
 
-    def run(self, max_epoch: int | None = None) -> dict:
-        max_epoch = max_epoch or self.cfg.max_epoch
-        last = {}
-        start_epoch = int(self.state.epoch)
-        for epoch in range(start_epoch, max_epoch + 1):
-            loss = self.train_one_epoch(epoch)
-            reach = None
-            if epoch % self.cfg.validate_every == 0:
-                last = self.validate_rollout()
-                reach = last["rate_ReachGoal"]
-                from ..train.checkpoint import save_checkpoint
-                save_checkpoint(self.exp_dir / "checkpoints", self.state,
-                                epoch, numbered=True,
-                                extra_meta={"best_reach_rate": self.best_reach_rate})
-                if epoch >= self.oe_cfg.start_epoch:
-                    self.run_online_expert(epoch)
-            is_best = reach is not None and reach > self.best_reach_rate
-            if is_best:
-                self.best_reach_rate = reach
-            from ..train.checkpoint import save_checkpoint
-            save_checkpoint(self.exp_dir / "checkpoints", self.state, epoch,
-                            is_best=is_best,
-                            extra_meta={"best_reach_rate": self.best_reach_rate})
-            self.logger.log("epoch_done", epoch, loss=loss,
-                            rate_ReachGoal=reach if reach is not None else -1)
-        return last
+    def post_validation(self, epoch: int) -> None:
+        """OE hook on the shared validation cadence (the reference gates
+        ``excuation_onlineExport`` on the same epochs,
+        decentralplannerlocal_OnlineExpert.py:289-299)."""
+        if epoch >= self.oe_cfg.start_epoch:
+            self.run_online_expert(epoch)

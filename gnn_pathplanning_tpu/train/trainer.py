@@ -56,6 +56,9 @@ class TrainConfig:
     rate_maxstep: int = 2
     num_valid_rollouts: int = 200
     seed: int = 1337
+    # D4 symmetry augmentation of training samples (square maps only) — a
+    # framework-native addition over the reference recipe (ops/augment.py).
+    augment: bool = False
 
 
 def cosine_lr(cfg: TrainConfig, epoch) -> jax.Array:
@@ -123,9 +126,15 @@ def render_batch(grids, goals, pos, radius):
     return obs, gso
 
 
-def make_train_step(model: DCPNet, optimizer) -> Callable:
+def make_train_step(model: DCPNet, optimizer, augment: bool = False,
+                    seed: int = 0) -> Callable:
     @jax.jit
     def train_step(state: TrainState, grids, goals, pos, actions, radius):
+        if augment:
+            from ..ops.augment import augment_batch
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), state.step)
+            grids, goals, pos, actions = augment_batch(
+                key, grids, goals, pos, actions)
         obs, gso = render_batch(grids, goals, pos, radius)
 
         def loss_fn(params):
@@ -174,7 +183,8 @@ class Trainer:
         self.train_set = train_set
         self.valid_set = valid_set
         self.optimizer = make_optimizer(cfg, trainable_filter)
-        self.train_step = make_train_step(model, self.optimizer)
+        self.train_step = make_train_step(model, self.optimizer,
+                                          augment=cfg.augment, seed=cfg.seed)
         self.eval_step = make_eval_step(model)
         self.logger = MetricsLogger(self.exp_dir / "metrics.jsonl")
         self.rng = np.random.RandomState(cfg.seed)
@@ -324,6 +334,12 @@ class Trainer:
             count += 1
         return count
 
+    def post_validation(self, epoch: int) -> None:
+        """Hook invoked on validation epochs after the rollout validation —
+        the Online Expert trainer overrides this (the reference's
+        ``excuation_onlineExport`` cadence, decentralplannerlocal_OnlineExpert
+        .py:287-299 shares the validation gating)."""
+
     def run(self, max_epoch: int | None = None) -> dict:
         """Full training loop with validation cadence + checkpointing."""
         max_epoch = max_epoch or self.cfg.max_epoch
@@ -338,9 +354,11 @@ class Trainer:
             if early or (epoch % self.cfg.validate_every == 0):
                 last_summary = self.validate_rollout()
                 reach = last_summary["rate_ReachGoal"]
+                self.validate_step()  # per-step accuracy (reference :431-482)
                 save_checkpoint(self.exp_dir / "checkpoints", self.state,
                                 epoch, numbered=True,
                                 extra_meta={"best_reach_rate": self.best_reach_rate})
+                self.post_validation(epoch)
             is_best = reach is not None and reach > self.best_reach_rate
             if is_best:
                 self.best_reach_rate = reach

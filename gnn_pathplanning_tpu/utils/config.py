@@ -53,6 +53,7 @@ DEFAULTS = Config(
     num_test_trainingSet=500,
     Start_onlineExpert=20,
     online_expert=False,
+    data_augment=False,
     seed=1337,
     data_root="data",
     save_root="experiments",
