@@ -107,20 +107,26 @@ class Rollout(NamedTuple):
     paths: jax.Array | None  # [T+1, N, 2] when recorded, else None
 
 
-def collision_shield(cur: jax.Array, prop: jax.Array, key: jax.Array):
+def collision_shield(cur: jax.Array, prop: jax.Array, key: jax.Array,
+                     pri: jax.Array | None = None):
     """Resolve vertex and swap conflicts (fixed point of masked updates).
 
     Args:
       cur: [N, 2] current positions (pairwise distinct).
       prop: [N, 2] proposed next positions.
       key: PRNG key for winner selection.
+      pri: optional explicit per-agent priorities [N] (max wins a vertex
+        conflict) overriding the random draw — used for deterministic
+        winner rules (e.g. behavioral-parity tests against the reference
+        with its ``random.choice`` pinned to the highest agent index).
 
     Returns:
       (next, shielded, unresolved): final positions, whether any agent was
       stopped by shielding, and whether conflicts remain (diagnostic).
     """
     n = cur.shape[0]
-    pri = jax.random.uniform(key, (n,))
+    if pri is None:
+        pri = jax.random.uniform(key, (n,))
     eye = jnp.eye(n, dtype=bool)
 
     def same_cell(a, b):
@@ -154,7 +160,8 @@ def collision_shield(cur: jax.Array, prop: jax.Array, key: jax.Array):
 
 
 def step_state(state: SimState, logits: jax.Array, case: SimCase,
-               maxstep: jax.Array, key: jax.Array) -> SimState:
+               maxstep: jax.Array, key: jax.Array,
+               pri: jax.Array | None = None) -> SimState:
     """One simulator step (the reference's ``move``, :562-723)."""
     cs = state.step + 1
     active = jnp.logical_and(~state.done, cs <= maxstep)
@@ -173,7 +180,7 @@ def step_state(state: SimState, logits: jax.Array, case: SimCase,
     invalid = oob | hit_obstacle
     prop = jnp.where(invalid[:, None], state.pos, prop)
 
-    nxt, shielded, unresolved = collision_shield(state.pos, prop, key)
+    nxt, shielded, unresolved = collision_shield(state.pos, prop, key, pri)
     predict_collision = state.predict_collision | (
         active & (jnp.any(invalid) | shielded))
     move_collision = state.move_collision | (active & unresolved)
@@ -246,7 +253,8 @@ def make_policy(apply_fn: Callable, variables) -> Callable:
 
 def rollout_batch(policy: Callable, cases: SimCase, max_steps: int,
                   comm_radius: float, key: jax.Array,
-                  rate_maxstep: int = 2, record_paths: bool = False) -> Rollout:
+                  rate_maxstep: int = 2, record_paths: bool = False,
+                  winner: str = "random") -> Rollout:
     """Run a batch of closed-loop rollouts under one jit-able program.
 
     Args:
@@ -258,6 +266,9 @@ def rollout_batch(policy: Callable, cases: SimCase, max_steps: int,
       key: PRNG key (winner selection in shielding).
       rate_maxstep: maxstep multiplier (forced to 3 when N >= 20, :76-81).
       record_paths: also return the [T+1, B, N, 2] visited positions.
+      winner: vertex-conflict winner rule — "random" (reference
+        ``random.choice`` semantics via seeded priorities) or "index"
+        (highest agent index wins; deterministic, for parity harnesses).
 
     Returns:
       Rollout with batched metrics (leading axis B).
@@ -281,8 +292,14 @@ def rollout_batch(policy: Callable, cases: SimCase, max_steps: int,
         gso = jax.vmap(normalize_adjacency)(adj)
         logits = policy(obs, gso)
         keys = jax.random.split(step_key, st.pos.shape[0])
-        st = jax.vmap(step_state, in_axes=(0, 0, 0, 0, 0))(
-            st, logits, cases, maxstep, keys)
+        if winner == "index":
+            b, n = st.pos.shape[:2]
+            pri = jnp.broadcast_to(jnp.arange(n, dtype=jnp.float32), (b, n))
+            st = jax.vmap(step_state, in_axes=(0, 0, 0, 0, 0, 0))(
+                st, logits, cases, maxstep, keys, pri)
+        else:
+            st = jax.vmap(step_state, in_axes=(0, 0, 0, 0, 0))(
+                st, logits, cases, maxstep, keys)
         out = st.pos if record_paths else None
         return st, out
 

@@ -18,9 +18,6 @@ The reference imports ``easydict``/``torchsummaryX`` which are not installed;
 we register minimal stand-ins (an attr-dict and a no-op ``summary``) before
 importing. We read the reference's behavior only — no code is copied.
 """
-import sys
-import types
-
 import numpy as np
 import pytest
 
@@ -28,47 +25,17 @@ torch = pytest.importorskip("torch")
 
 import jax.numpy as jnp  # noqa: E402
 
+from reference_loader import AttrDict, load_reference  # noqa: E402
+
 from gnn_pathplanning_tpu.models import (DCPConfig, DCPNet,  # noqa: E402
-                                         params_from_torch_state_dict)
-
-REF = "/root/reference"
-
-
-class AttrDict(dict):
-    """Minimal easydict.EasyDict stand-in (attribute access over a dict)."""
-
-    def __getattr__(self, k):
-        try:
-            return self[k]
-        except KeyError as e:  # pragma: no cover
-            raise AttributeError(k) from e
-
-    def __setattr__(self, k, v):
-        self[k] = v
+                                         params_from_torch_state_dict,
+                                         torch_state_dict_from_params)
 
 
 @pytest.fixture(scope="module")
 def ref():
     """Import the reference model module with stub third-party deps."""
-    if "easydict" not in sys.modules:
-        ed = types.ModuleType("easydict")
-        ed.EasyDict = AttrDict
-        sys.modules["easydict"] = ed
-    if "torchsummaryX" not in sys.modules:
-        tsx = types.ModuleType("torchsummaryX")
-        tsx.summary = lambda *a, **k: None
-        sys.modules["torchsummaryX"] = tsx
-    # The reference's utils package imports matplotlib.font_manager._rebuild
-    # at import time, which modern matplotlib removed — shim it.
-    import matplotlib.font_manager as fm
-    if not hasattr(fm, "_rebuild"):
-        fm._rebuild = lambda: None
-    sys.path.insert(0, REF)
-    try:
-        import graphs.models.decentralplanner as dp  # noqa: F401
-    finally:
-        sys.path.remove(REF)
-    return dp
+    return load_reference("graphs.models.decentralplanner")
 
 
 def _build_ref_model(ref, k_taps=3, num_agents=10, seed=1337):
@@ -154,14 +121,36 @@ def test_boundary_activations_match_reference(ref, rng):
         rtol=2e-4, atol=2e-4)
 
 
+def test_export_roundtrip_loads_into_reference_model(ref, rng):
+    """torch_export: our variables -> reference state_dict -> reference
+    model.load_state_dict(strict=True) -> identical logits. This is the
+    migration path for checkpoints trained in this framework."""
+    import jax
+    b, n = 2, 10
+    ours = DCPNet(DCPConfig(num_taps=3))
+    variables = ours.init_variables(jax.random.PRNGKey(3), num_agents=n)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in torch_state_dict_from_params(variables).items()}
+
+    cfg = AttrDict(num_agents=n, nGraphFilterTaps=3,
+                   device=torch.device("cpu"))
+    model = ref.DecentralPlannerNet(cfg)
+    model.load_state_dict(sd, strict=True)
+    model.eval()
+
+    obs, s = _random_inputs(rng, b, n)
+    with torch.no_grad():
+        model.addGSO(torch.from_numpy(s))
+        want = torch.stack(model(torch.from_numpy(obs)), dim=1).numpy()
+    got = np.asarray(ours.apply(variables, jnp.asarray(obs), jnp.asarray(s),
+                                train=False))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_graph_filter_batch_math(ref, rng):
     """Our graph_filter against the reference GraphFilterBatch module alone
     (utils/graphUtils/graphML.py:2369) on random weights/GSOs."""
-    sys.path.insert(0, REF)
-    try:
-        import utils.graphUtils.graphML as gml
-    finally:
-        sys.path.remove(REF)
+    gml = load_reference("utils.graphUtils.graphML")
     from gnn_pathplanning_tpu.ops.graph_filter import graph_filter
 
     b, n, g, f, k = 5, 12, 7, 6, 3

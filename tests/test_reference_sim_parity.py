@@ -1,0 +1,194 @@
+"""Closed-loop behavioral parity vs the ACTUAL reference simulator.
+
+Drives /root/reference/utils/multirobotsim_dcenlocal.py (multiRobotSim) and
+our env.simulator.rollout_batch with the SAME policy network (a seeded
+reference DecentralPlannerNet, weights imported into DCPNet — the import
+path itself is parity-tested in test_reference_parity.py) on ECBS-solved
+conflict-rich cases at N=10, and asserts EXACT per-step trajectory equality
+plus matching metrics.
+
+The one nondeterminism in the reference — ``random.choice`` of the vertex-
+conflict winner (multirobotsim_dcenlocal.py:489) — is pinned on both sides
+to "highest agent index wins" (reference: monkeypatched choice; ours:
+rollout winner="index"), making the comparison exact even through shielding
+conflicts. GSO dtype: the reference builds float64 GSOs in the sim but its
+own training data pipeline ships float32; we cast to float32 at addGSO to
+keep the policy numerics identical on both sides.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from reference_loader import AttrDict, load_reference  # noqa: E402
+
+from gnn_pathplanning_tpu.data.mapgen import (generate_map,  # noqa: E402
+                                              random_start_goal_pairs)
+from gnn_pathplanning_tpu.data.solvers import solve_case  # noqa: E402
+from gnn_pathplanning_tpu.data.transform import (  # noqa: E402
+    actions_from_states, record_from_solution)
+from gnn_pathplanning_tpu.env.simulator import (SimCase,  # noqa: E402
+                                                rollout_batch)
+from gnn_pathplanning_tpu.models import (DCPConfig, DCPNet,  # noqa: E402
+                                         params_from_torch_state_dict)
+
+N_AGENTS = 10
+
+
+WINNER_CALLS = {"n": 0}
+
+
+@pytest.fixture(scope="module")
+def ref_mods():
+    dp = load_reference("graphs.models.decentralplanner")
+    sim = load_reference("utils.multirobotsim_dcenlocal")
+
+    # Pin the vertex-conflict winner: highest agent index wins (ours:
+    # winner="index"). collided_agents holds names like "agent7".
+    def choice(seq):
+        WINNER_CALLS["n"] += 1
+        return max(seq, key=lambda s: int(str(s).replace("agent", "")))
+
+    sim.random.choice = choice
+    return dp, sim
+
+
+@pytest.fixture(scope="module")
+def solved_cases():
+    """A few ECBS-solved 14x14/10-agent cases (conflict-prone density)."""
+    rng = np.random.RandomState(20260818)
+    cases = []
+    while len(cases) < 3:
+        grid = generate_map(14, 14, complexity=0.02, density=0.12, rng=rng)
+        sg = random_start_goal_pairs(grid, N_AGENTS, rng)
+        if sg is None:
+            continue
+        starts, goals = sg
+        res = solve_case(grid, starts, goals, algo="ecbs", w=1.1, timeout=60)
+        if not res.ok or res.paths is None:
+            continue
+        rec = record_from_solution(grid, goals, res.schedule_array(), 6.0)
+        cases.append((grid, starts, goals, rec))
+    return cases
+
+
+def _run_reference(sim, model, grid, starts, goals, rec, rate_maxstep=2,
+                   comm_r=6.0):
+    n = N_AGENTS
+    cfg = AttrDict(num_agents=n, device=torch.device("cpu"),
+                   rate_maxstep=rate_maxstep, commR=comm_r)
+    robot = sim.multiRobotSim(cfg)
+    load_input = torch.zeros(1, 2, n, 2)
+    load_input[0, 0] = torch.from_numpy(np.asarray(goals, np.float32))
+    load_input[0, 1] = torch.from_numpy(np.asarray(starts, np.float32))
+    onehot = np.eye(5, dtype=np.float32)[rec.actions]          # [T, N, 5]
+    load_target = torch.from_numpy(onehot.transpose(1, 0, 2)[None])
+    tensor_map = torch.from_numpy(np.asarray(grid, np.float32))[None]
+    robot.setup(load_input, load_target, torch.tensor(rec.makespan),
+                tensor_map, 0)
+
+    maxstep = robot.getMaxstep()
+    positions = [np.asarray(starts, np.int64)]
+    predict_collision = False
+    all_reach = False
+    with torch.no_grad():
+        for step in range(maxstep):
+            state = robot.getCurrentState()
+            gso = robot.getGSO(step)
+            model.addGSO(gso.float())
+            action_vec = model(state.float())
+            all_reach, move_c, pred_c = robot.move(action_vec, step + 1)
+            predict_collision = predict_collision or pred_c
+            pos = np.stack([
+                robot.status_MultiAgent[f"agent{i}"]
+                     ["currentState"].numpy()[0].astype(np.int64)
+                for i in range(n)])
+            positions.append(pos)
+            if all_reach:
+                break
+    return dict(positions=np.stack(positions), all_reach=bool(all_reach),
+                maxstep=maxstep, predict_collision=bool(predict_collision),
+                reached=list(robot.count_reachgoal),
+                radius=robot.communicationRadius)
+
+
+def _run_ours(variables, grid, starts, goals, rec, maxstep, rate_maxstep=2,
+              comm_r=6.0):
+    model = DCPNet(DCPConfig(num_taps=3))
+
+    def policy(obs, gso):
+        return model.apply(variables, obs, gso, train=False)
+
+    case = SimCase(
+        grid=jnp.asarray(grid, jnp.float32)[None],
+        starts=jnp.asarray(starts, jnp.int32)[None],
+        goals=jnp.asarray(goals, jnp.int32)[None],
+        target_makespan=jnp.asarray([rec.target_makespan], jnp.int32),
+        target_flowtime=jnp.asarray([rec.target_flowtime], jnp.int32),
+        solution_makespan=jnp.asarray([rec.makespan], jnp.int32))
+    out = rollout_batch(policy, case, maxstep, comm_r,
+                        jax.random.PRNGKey(0), rate_maxstep,
+                        record_paths=True, winner="index")
+    return out
+
+
+@pytest.mark.parametrize("case_idx", [0, 1, 2])
+def test_trajectory_parity(ref_mods, solved_cases, case_idx):
+    dp, sim = ref_mods
+    grid, starts, goals, rec = solved_cases[case_idx]
+
+    cfg = AttrDict(num_agents=N_AGENTS, nGraphFilterTaps=3,
+                   device=torch.device("cpu"))
+    torch.manual_seed(7 + case_idx)
+    model = dp.DecentralPlannerNet(cfg)
+    model.eval()
+
+    ref_out = _run_reference(sim, model, grid, starts, goals, rec)
+    variables = params_from_torch_state_dict(model.state_dict())
+    ours = _run_ours(variables, grid, starts, goals, rec,
+                     maxstep=ref_out["maxstep"])
+
+    # Exact per-step positions up to the reference's termination step.
+    paths = np.asarray(ours.paths[0]).astype(np.int64)  # [T+1, N, 2]
+    t_ref = ref_out["positions"].shape[0]
+    # If the reference succeeded, our `done` latch freezes positions at the
+    # success step while the reference records one final (post-success)
+    # frame identical to it — compare the common latched prefix.
+    np.testing.assert_array_equal(paths[:t_ref], ref_out["positions"],
+                                  err_msg=f"case {case_idx} diverged")
+
+    m = ours.metrics
+    assert bool(m.all_reached[0]) == ref_out["all_reach"]
+    assert list(np.asarray(ours.reached[0])) == ref_out["reached"]
+    assert bool(m.predict_collision[0]) == ref_out["predict_collision"]
+    np.testing.assert_allclose(float(m.comm_radius[0]), ref_out["radius"],
+                               rtol=1e-6)
+
+
+def test_conflicts_were_exercised():
+    """Guard against vacuous parity: the trajectory tests above must have
+    hit multi-mover vertex conflicts (winner selection) in the reference.
+    (File-order dependent by design — runs after the parametrized tests.)"""
+    assert WINNER_CALLS["n"] > 0
+
+
+def test_expert_replay_matches_reference_targets(ref_mods, solved_cases):
+    """getPathTarget (expert makespan/flowtime replay) parity."""
+    dp, sim = ref_mods
+    grid, starts, goals, rec = solved_cases[0]
+    cfg = AttrDict(num_agents=N_AGENTS, device=torch.device("cpu"),
+                   rate_maxstep=2, commR=6.0)
+    robot = sim.multiRobotSim(cfg)
+    load_input = torch.zeros(1, 2, N_AGENTS, 2)
+    load_input[0, 0] = torch.from_numpy(np.asarray(goals, np.float32))
+    load_input[0, 1] = torch.from_numpy(np.asarray(starts, np.float32))
+    onehot = np.eye(5, dtype=np.float32)[rec.actions]
+    load_target = torch.from_numpy(onehot.transpose(1, 0, 2)[None])
+    robot.setup(load_input, load_target, torch.tensor(rec.makespan),
+                torch.from_numpy(np.asarray(grid, np.float32))[None], 0)
+    mp, ft = robot.getOptimalityMetrics()
+    assert mp[1] == rec.target_makespan
+    assert ft[1] == rec.target_flowtime
