@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--online_expert", action="store_true", default=None)
     p.add_argument("--data_augment", action="store_true", default=None,
                    help="D4 symmetry augmentation of training samples")
+    p.add_argument("--log_anime", action="store_true", default=None,
+                   help="export rollout YAML/GSO artifact sets in --mode test "
+                        "(reference log_anime flow)")
     p.add_argument("--train_TL", action="store_true", default=None,
                    help="transfer learning: freeze all but GFL/action params")
     p.add_argument("--pretrained", type=str, default=None,
@@ -148,6 +151,25 @@ def main(argv=None) -> int:
             return 1
         summary = trainer.validate_rollout(test_set, limit=cfg.num_testset,
                                            label="test")
+        # Reference test-flow artifacts (decentralplannerlocal.py:615-626 +
+        # utils/metrics.py:226-288): rollout YAML/GSO sets for the animation
+        # pipeline, and the .mat statistics archive the reference's
+        # statistic_analysis scripts load.
+        from ..train.metrics import save_statistics_mat
+        from pathlib import Path as _Path
+        meta = dict(exp_net=cfg.exp_net, map_w=cfg.map_w, map_h=cfg.map_h,
+                    num_agents=cfg.num_agents, K=cfg.nGraphFilterTaps,
+                    commRadius=cfg.commR, num_testset=cfg.num_testset)
+        save_statistics_mat(
+            _Path(cfg.result_statistics_dir) /
+            f"statistics_{cfg.map_w}x{cfg.map_h}_{cfg.num_agents}Agent"
+            f"_K{cfg.nGraphFilterTaps}.mat", summary, meta)
+        if cfg.log_anime:
+            n_exported = trainer.export_rollouts(
+                test_set, cfg.result_AnimeDemo_dir,
+                limit=min(cfg.num_testset, 10))
+            log.info("exported %d rollout artifact sets to %s",
+                     n_exported, cfg.result_AnimeDemo_dir)
         print({k: v for k, v in summary.items() if not isinstance(v, list)})
         return 0
 

@@ -97,7 +97,9 @@ def parse_solution_yaml(path: str | os.PathLike) -> SolverResult:
                 t = int(float(ls.split(":")[1]))
                 if current is not None:
                     current.append((t, x, y))
-    names = sorted(agents, key=lambda s: int("".join(c for c in s if c.isdigit()) or 0))
+    # Preserve the file's agent order (the reference keeps insertion
+    # order; digit-sorting scrambled non-"agent{i}" names).
+    names = list(agents)
     paths = []
     for name in names:
         steps = sorted(agents[name])

@@ -206,7 +206,9 @@ def graph_filter_geometric(pos: jax.Array, x: jax.Array, radius,
     b)`` on the valid lanes.
 
     Inputs must be BLOCK-padded (see ``pad_agents``); ``valid`` marks real
-    agents.
+    agents. Positions must be pairwise distinct (the MAPF collision-free
+    invariant): co-located agents are treated as self-edges and removed,
+    where the dense oracle would keep a distance-0 edge.
     """
     n = pos.shape[0]
     assert n % BLOCK == 0, "pad inputs to a BLOCK multiple (pad_agents)"

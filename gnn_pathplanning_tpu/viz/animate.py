@@ -76,7 +76,9 @@ def load_schedule_yaml(path: str | Path) -> np.ndarray:
                 t = int(float(ls.split(":")[1]))
                 if current is not None:
                     current.append((t, x, y))
-    names = sorted(agents, key=lambda s: int("".join(c for c in s if c.isdigit()) or 0))
+    # Preserve the file's agent order (the reference keeps insertion
+    # order; digit-sorting scrambled non-"agent{i}" names).
+    names = list(agents)
     t_max = max(max(t for t, _, _ in agents[n]) for n in names) + 1
     out = np.zeros((t_max, len(names), 2), np.int32)
     for i, name in enumerate(names):

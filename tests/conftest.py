@@ -27,3 +27,20 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(1337)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: opt-in real-TPU validation (run with `pytest -m tpu`); "
+        "skipped in the default CPU suite")
+
+
+def pytest_collection_modifyitems(config, items):
+    # tpu-marked tests run only when explicitly selected via -m.
+    if "tpu" in (config.option.markexpr or ""):
+        return
+    skip = pytest.mark.skip(reason="real-TPU test; run with -m tpu")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)

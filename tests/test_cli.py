@@ -42,9 +42,20 @@ def test_cli_full_cycle(tmp_path, capsys):
     import glob
     ckpts = glob.glob(f"{save_root}/**/checkpoint.msgpack", recursive=True)
     assert ckpts
-    assert main(base + ["--mode", "test", "--test_checkpoint", ckpts[0]]) == 0
+    assert main(base + ["--mode", "test", "--test_checkpoint", ckpts[0],
+                        "--log_anime"]) == 0
     out = capsys.readouterr().out
     assert "rate_ReachGoal" in out
+
+    # test-flow artifacts: .mat statistics archive + anime YAML/GSO sets
+    # (reference decentralplannerlocal.py:615-626, utils/metrics.py:226-288)
+    import scipy.io as sio
+    mats = glob.glob(f"{save_root}/**/statistics/*.mat", recursive=True)
+    assert mats
+    rec = sio.loadmat(mats[0])
+    assert "rate_ReachGoal" in rec and "commRadius" in rec
+    anime = glob.glob(f"{save_root}/**/anime/**/*.yaml", recursive=True)
+    assert anime
 
 
 def test_cli_transfer_learning(tmp_path):

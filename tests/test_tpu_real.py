@@ -1,0 +1,117 @@
+"""Opt-in real-TPU validation (``pytest -m tpu``).
+
+The unit suite pins jax to a virtual CPU platform (conftest.py), so kernel
+regressions that only appear on the real Mosaic/XLA:TPU backend are not
+caught in CI. These tests spawn a clean subprocess (no CPU pin; the
+environment's default platform is the tunneled TPU) that compiles the dense
+graph filter, the Pallas geometric filter, and a short closed-loop rollout
+on the TPU and writes the results to an npz; the parent recomputes them on
+CPU and compares.
+
+Skipped unless selected with ``-m tpu`` (see conftest collection hook).
+First TPU compile over the tunnel takes minutes — run with a generous
+timeout and expect contention if a training job owns the chip.
+"""
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+_CHILD = r"""
+import sys
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# Regression test wants numerical equality with the CPU oracle, not the
+# default bf16 MXU passthrough.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+out_path = sys.argv[1]
+assert jax.devices()[0].platform != "cpu", jax.devices()
+
+from gnn_pathplanning_tpu.ops.graph_filter import graph_filter
+from gnn_pathplanning_tpu.ops.pallas_swarm import (graph_filter_geometric,
+                                                   pad_agents)
+from gnn_pathplanning_tpu.ops.gso import (adjacency_from_positions,
+                                          normalize_adjacency)
+
+rng = np.random.RandomState(0)
+b, n, g, f, k = 2, 64, 8, 8, 3
+x = rng.randn(b, n, g).astype(np.float32)
+s = rng.randn(b, n, n).astype(np.float32)
+w = rng.randn(k, g, f).astype(np.float32) * 0.3
+bias = rng.randn(f).astype(np.float32) * 0.3
+dense = jax.jit(graph_filter)(jnp.asarray(x), jnp.asarray(s),
+                              jnp.asarray(w), jnp.asarray(bias))
+
+idx = rng.choice(48 * 48, size=100, replace=False)
+pos = np.stack([idx // 48, idx % 48], -1).astype(np.float32)
+xg = rng.randn(100, g).astype(np.float32)
+pos_p, xg_p, valid = pad_agents(jnp.asarray(pos), jnp.asarray(xg))
+geo = jax.jit(lambda p, xx, v: graph_filter_geometric(
+    p, xx, 6.0, jnp.asarray(w), jnp.asarray(bias), v))(pos_p, xg_p, valid)
+
+adj = adjacency_from_positions(jnp.asarray(pos), 6.0)
+gso = normalize_adjacency(adj)
+
+np.savez(out_path, dense=np.asarray(dense), geo=np.asarray(geo),
+         valid=np.asarray(valid), gso=np.asarray(gso))
+print("tpu child ok")
+"""
+
+
+@pytest.fixture(scope="module")
+def tpu_results(tmp_path_factory):
+    out = tmp_path_factory.mktemp("tpu") / "results.npz"
+    env = dict(os.environ)
+    for k in ("JAX_PLATFORMS", "XLA_FLAGS"):
+        env.pop(k, None)
+    proc = subprocess.run(
+        [sys.executable, "-c", _CHILD, str(out)], env=env,
+        capture_output=True, text=True, timeout=1200,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "tpu child ok" in proc.stdout
+    return np.load(out)
+
+
+def test_dense_graph_filter_matches_cpu(tpu_results):
+    import jax.numpy as jnp
+    from gnn_pathplanning_tpu.ops.graph_filter import graph_filter
+    rng = np.random.RandomState(0)
+    b, n, g, f, k = 2, 64, 8, 8, 3
+    x = rng.randn(b, n, g).astype(np.float32)
+    s = rng.randn(b, n, n).astype(np.float32)
+    w = rng.randn(k, g, f).astype(np.float32) * 0.3
+    bias = rng.randn(f).astype(np.float32) * 0.3
+    want = np.asarray(graph_filter(jnp.asarray(x), jnp.asarray(s),
+                                   jnp.asarray(w), jnp.asarray(bias)))
+    np.testing.assert_allclose(tpu_results["dense"], want,
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_geometric_matches_cpu_dense(tpu_results):
+    """Real-TPU Mosaic kernel vs CPU dense oracle on the valid lanes."""
+    import jax.numpy as jnp
+    from gnn_pathplanning_tpu.ops.graph_filter import graph_filter
+    rng = np.random.RandomState(0)
+    b, n, g, f, k = 2, 64, 8, 8, 3
+    _ = rng.randn(b, n, g), rng.randn(b, n, n)      # consume, match child
+    w = rng.randn(k, g, f).astype(np.float32) * 0.3
+    bias = rng.randn(f).astype(np.float32) * 0.3
+    idx = rng.choice(48 * 48, size=100, replace=False)
+    pos = np.stack([idx // 48, idx % 48], -1).astype(np.float32)
+    xg = rng.randn(100, g).astype(np.float32)
+
+    gso = tpu_results["gso"]
+    want = np.asarray(graph_filter(jnp.asarray(xg)[None],
+                                   jnp.asarray(gso)[None],
+                                   jnp.asarray(w), jnp.asarray(bias)))[0]
+    valid = tpu_results["valid"].astype(bool)
+    got = tpu_results["geo"][valid]
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
