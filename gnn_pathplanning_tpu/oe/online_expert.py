@@ -110,6 +110,13 @@ class OnlineExpertTrainer(Trainer):
         self.train_dir = train_dir
         self.online_expert = OnlineExpert(self.exp_dir / "failure_cache",
                                           self.oe_cfg)
+        # Resume support: failure caches from earlier epochs must re-enter
+        # the training set immediately, not only after the next harvest
+        # (CreateDataset.update_data_path_trainingset merges all Cache_data
+        # epochs on every rebuild, Dataloader...py:115-130).
+        cached = self.online_expert.cache_dirs()
+        if cached and self.train_dir is not None:
+            self.train_set = load_split(self.train_dir, extra_dirs=cached)
 
     def run_online_expert(self, epoch: int) -> int:
         """Harvest failures from a rollout over training-set cases, solve,

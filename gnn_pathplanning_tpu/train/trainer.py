@@ -220,6 +220,11 @@ class Trainer:
             return False
         self.state, meta = load_checkpoint(path, self.state)
         self.best_reach_rate = meta.get("best_reach_rate", -1.0)
+        # The checkpoint's epoch is *completed* — resume at the next one
+        # (reference: current_epoch = checkpoint['epoch'] + 1,
+        # decentralplannerlocal.py:199-200).
+        self.state = self.state.replace(
+            epoch=jnp.asarray(int(self.state.epoch) + 1, jnp.int32))
         return True
 
     # ------------------------------------------------------------- train

@@ -103,6 +103,14 @@ def process_config(cfg: Config, timestamp: int | None = None) -> Config:
         f"{cfg.map_type}{cfg.map_w:02d}x{cfg.map_h:02d}_density_p{cfg.map_density}"
         / f"{cfg.num_agents}_Agent")
     setup_logging(cfg.log_dir)
+    # Persist the resolved config for provenance (the reference logs the
+    # merged EasyDict at startup, utils/config.py:93-99); a timestamped name
+    # keeps resume invocations from clobbering the original.
+    dump = exp_dir / f"config_{int(time.time())}.json"
+    with open(dump, "w") as f:
+        json.dump({k: v for k, v in cfg.items()
+                   if isinstance(v, (str, int, float, bool, type(None)))},
+                  f, indent=2, sort_keys=True)
     return cfg
 
 
