@@ -62,23 +62,34 @@ def spatial_sort(pos: jax.Array, cell: float) -> jax.Array:
     return jnp.argsort(key)
 
 
-def block_pair_mask(pos: jax.Array, radius, valid: jax.Array) -> jax.Array:
-    """[NB, NB] int32: could sender block I and receiver block J share an
-    edge? Per-block coordinate bounding boxes (padding lanes excluded)."""
-    n = pos.shape[0]
-    nb = n // BLOCK
+def _block_boxes(pos: jax.Array, valid: jax.Array):
+    """Per-block coordinate bounding boxes (padding lanes excluded):
+    (mins [NB, 2], maxs [NB, 2], has_any [NB])."""
+    nb = pos.shape[0] // BLOCK
     p = pos.reshape(nb, BLOCK, 2)
     v = valid.reshape(nb, BLOCK, 1) > 0
     big = jnp.float32(1e9)
     mins = jnp.min(jnp.where(v, p, big), axis=1)
     maxs = jnp.max(jnp.where(v, p, -big), axis=1)
+    return mins, maxs, jnp.sum(v[..., 0], axis=1) > 0
+
+
+def block_pair_mask(pos: jax.Array, radius, valid: jax.Array,
+                    recv_pos: jax.Array | None = None,
+                    recv_valid: jax.Array | None = None) -> jax.Array:
+    """[NB_send, NB_recv] int32: could sender block I and receiver block J
+    share an edge? Square (recv == send) when recv_pos is omitted."""
+    mins_s, maxs_s, has_s = _block_boxes(pos, valid)
+    if recv_pos is None:
+        mins_r, maxs_r, has_r = mins_s, maxs_s, has_s
+    else:
+        mins_r, maxs_r, has_r = _block_boxes(recv_pos, recv_valid)
     gap = jnp.maximum(
-        jnp.maximum(mins[:, None] - maxs[None, :],
-                    mins[None, :] - maxs[:, None]), 0.0)
+        jnp.maximum(mins_s[:, None] - maxs_r[None, :],
+                    mins_r[None, :] - maxs_s[:, None]), 0.0)
     dist2 = jnp.sum(gap * gap, axis=-1)
-    has = jnp.sum(v[..., 0], axis=1) > 0
     ok = (dist2 < jnp.asarray(radius, jnp.float32) ** 2) \
-        & has[:, None] & has[None, :]
+        & has_s[:, None] & has_r[None, :]
     return ok.astype(jnp.int32)
 
 
@@ -133,6 +144,17 @@ def _spmm_kernel(mask_ref, r2_ref, pxi_ref, pyi_ref, vvi_ref,
                               preferred_element_type=jnp.float32)
 
 
+def _join_vma(*arrays) -> frozenset:
+    """Join of the inputs' varying-mesh-axes sets: under shard_map with
+    check_vma, pallas_call out_shapes must declare how outputs vary."""
+    vma = frozenset()
+    for a in arrays:
+        v = getattr(jax.typeof(a), "vma", None)
+        if v:
+            vma |= v
+    return vma
+
+
 def _planes(pos, valid):
     """[NB * _SUB, BLOCK] sublane-replicated coordinate planes."""
     nb = pos.shape[0] // BLOCK
@@ -151,39 +173,61 @@ def _plane_specs():
 
 
 def geometric_degrees(pos: jax.Array, radius, valid: jax.Array,
-                      mask: jax.Array, interpret: bool = False) -> jax.Array:
-    """deg[n] = #neighbors within radius (block-sparse fused kernel)."""
-    n = pos.shape[0]
-    nb = n // BLOCK
+                      mask: jax.Array, interpret: bool = False,
+                      recv_pos: jax.Array | None = None,
+                      recv_valid: jax.Array | None = None) -> jax.Array:
+    """deg[n] = #neighbors within radius (block-sparse fused kernel).
+
+    With ``recv_pos``/``recv_valid`` the senders (``pos``) and receivers
+    differ: returns the receivers' degrees w.r.t. the sender set — the
+    rectangular form used by the agent-sharded rollout (each chip's
+    receivers are its local agents, senders are the full swarm)."""
+    nb_s = pos.shape[0] // BLOCK
     px, py, vv = _planes(pos, valid)
+    if recv_pos is None:
+        qx, qy, qv, nb_r = px, py, vv, nb_s
+    else:
+        nb_r = recv_pos.shape[0] // BLOCK
+        qx, qy, qv = _planes(recv_pos, recv_valid)
     r2 = (jnp.asarray(radius, jnp.float32) ** 2).reshape(1)
     send, recv = _plane_specs()
     out = pl.pallas_call(
         _degree_kernel,
-        grid=(nb, nb),
+        grid=(nb_r, nb_s),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   *send, *recv],
         out_specs=pl.BlockSpec((_SUB, BLOCK), lambda j, i: (j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb * _SUB, BLOCK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nb_r * _SUB, BLOCK), jnp.float32,
+                                       vma=_join_vma(mask, px, qx)),
         interpret=interpret,
-    )(mask, r2, px, py, vv, px, py, vv)
-    return out.reshape(nb, _SUB, BLOCK)[:, 0].reshape(-1)
+    )(mask, r2, px, py, vv, qx, qy, qv)
+    return out.reshape(nb_r, _SUB, BLOCK)[:, 0].reshape(-1)
 
 
 def geometric_spmm(pos: jax.Array, x: jax.Array, radius, valid: jax.Array,
-                   mask: jax.Array, interpret: bool = False) -> jax.Array:
+                   mask: jax.Array, interpret: bool = False,
+                   recv_pos: jax.Array | None = None,
+                   recv_valid: jax.Array | None = None) -> jax.Array:
     """z[n] = sum_m W[m, n] x[m] over the radius graph, fused from
-    positions; x is [N, G] with N a BLOCK multiple."""
+    positions; x is [N_send, G] with N_send a BLOCK multiple. With
+    ``recv_pos`` the output covers the (rectangular) receiver set instead
+    of the senders."""
     n, g = x.shape
-    nb = n // BLOCK
+    nb_s = n // BLOCK
     px, py, vv = _planes(pos, valid)
+    if recv_pos is None:
+        qx, qy, qv, n_r = px, py, vv, n
+    else:
+        n_r = recv_pos.shape[0]
+        qx, qy, qv = _planes(recv_pos, recv_valid)
+    nb_r = n_r // BLOCK
     r2 = (jnp.asarray(radius, jnp.float32) ** 2).reshape(1)
     send, recv = _plane_specs()
     out = pl.pallas_call(
         _spmm_kernel,
-        grid=(nb, nb),
+        grid=(nb_r, nb_s),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   *send, *recv,
@@ -191,9 +235,10 @@ def geometric_spmm(pos: jax.Array, x: jax.Array, radius, valid: jax.Array,
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((BLOCK, g), lambda j, i: (j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, g), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_r, g), jnp.float32,
+                                       vma=_join_vma(mask, px, qx, x)),
         interpret=interpret,
-    )(mask, r2, px, py, vv, px, py, vv, x)
+    )(mask, r2, px, py, vv, qx, qy, qv, x)
     return out
 
 

@@ -35,6 +35,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..env.simulator import DELTAS, STOP, collision_shield
 from ..ops.fov import render_fov
+from ..ops.pallas_swarm import (block_pair_mask, geometric_degrees,
+                                geometric_spmm, pad_agents, pad_to_block)
 from .swarm import graph_filter_body, gso_cols_body
 
 
@@ -77,6 +79,60 @@ def dcp_gfl(variables):
     return p["taps"], p["bias"]
 
 
+def geometric_filter_body(x_loc: jax.Array, pos_loc: jax.Array,
+                          pos_full: jax.Array, r: jax.Array, taps: jax.Array,
+                          bias: jax.Array | None, axis: str,
+                          interpret: bool = False) -> jax.Array:
+    """K-tap graph filter inner body on the *geometric* Pallas path
+    (callable inside any shard_map over ``axis``): x_loc [N/d, G],
+    pos_loc [N/d, 2], pos_full [N, 2] -> [N/d, F].
+
+    Per-chip memory is O(N*G) (the halo gather) + O(NB_send * NB_recv)
+    (the block-pair mask) — no [N, N/d] dense GSO block is ever built,
+    unlike ``gso_cols_body``. Receivers are the chip's local agents;
+    senders are the whole swarm; edge weights are recomputed from
+    positions inside each active 128x128 block pair on the VPU and fed
+    straight to the MXU (ops/pallas_swarm.py).
+    """
+    n_loc, g = x_loc.shape
+    send_pos, _, send_valid = pad_agents(pos_full.astype(jnp.float32))
+    recv_pos, _, recv_valid = pad_agents(pos_loc.astype(jnp.float32))
+    mask = block_pair_mask(send_pos, r, send_valid, recv_pos, recv_valid)
+
+    # Degrees: each chip computes its receivers' degrees against the full
+    # sender set, then the full inverse-sqrt vector is assembled by halo
+    # exchange (degree of agent m is identical on every chip).
+    deg_loc = geometric_degrees(send_pos, r, send_valid, mask, interpret,
+                                recv_pos, recv_valid)[:n_loc]
+    deg_full = jax.lax.all_gather(deg_loc, axis, tiled=True)      # [N]
+    inv_full = jnp.where(deg_full > 1e-9,
+                         jax.lax.rsqrt(jnp.maximum(deg_full, 1e-9)), 0.0)
+    shard = jax.lax.axis_index(axis)
+    inv_loc = jax.lax.dynamic_slice_in_dim(inv_full, shard * n_loc, n_loc)
+
+    n_pad = send_pos.shape[0]
+    k_taps = taps.shape[0]
+    zs = [x_loc]
+    z = x_loc
+    for _ in range(1, k_taps):
+        z_full = jax.lax.all_gather(z, axis, tiled=True)          # halo [N, G]
+        z_pad = jnp.zeros((n_pad, g), x_loc.dtype).at[:z_full.shape[0]].set(
+            inv_full[:, None] * z_full)
+        z = inv_loc[:, None] * geometric_spmm(
+            send_pos, z_pad, r, send_valid, mask, interpret,
+            recv_pos, recv_valid)[:n_loc]
+        zs.append(z)
+    stacked = jnp.concatenate(zs, axis=-1)
+    w2 = taps.reshape(k_taps * taps.shape[1], taps.shape[2])
+    # HIGHEST: match graph_filter_geometric (default TPU matmul truncates
+    # f32 inputs to bf16; the tap contraction is cheap next to the SpMM).
+    y = jnp.dot(stacked, w2, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+    if bias is not None:
+        y = y + bias
+    return y
+
+
 class SwarmRollout(NamedTuple):
     final_pos: jax.Array   # [N, 2]
     reached: jax.Array     # [N] bool (latched)
@@ -85,9 +141,16 @@ class SwarmRollout(NamedTuple):
 
 def swarm_rollout(mesh: Mesh, variables, grid: jax.Array, starts: jax.Array,
                   goals: jax.Array, radius: float, steps: int,
-                  key: jax.Array, axis: str = "agents") -> SwarmRollout:
+                  key: jax.Array, axis: str = "agents",
+                  geometric: bool = False,
+                  interpret: bool = False) -> SwarmRollout:
     """Run `steps` closed-loop steps with the agent axis sharded over
-    ``axis``. N must be divisible by the mesh axis size."""
+    ``axis``. N must be divisible by the mesh axis size.
+
+    ``geometric=True`` routes the K-hop exchange through the fused Pallas
+    position->SpMM path (``geometric_filter_body``) so no chip ever builds
+    an [N, N/d] dense GSO block — the BASELINE.md stress regime (1024+
+    agents). ``interpret`` runs those kernels in interpret mode (CPU CI)."""
     taps, gfl_bias = dcp_gfl(variables)
     grid = jnp.asarray(grid, jnp.float32)
     w, h = grid.shape
@@ -103,10 +166,15 @@ def swarm_rollout(mesh: Mesh, variables, grid: jax.Array, starts: jax.Array,
             pos_full = jax.lax.all_gather(pos_loc, axis, tiled=True)
             obs_loc = render_fov(grid, pos_loc, goals_loc,
                                  occupancy_pos=pos_full)
-            s_cols = gso_cols_body(pos_loc.astype(jnp.float32), r, axis)
             feat_loc = dcp_encode(variables, obs_loc)
-            y_loc = jax.nn.relu(
-                graph_filter_body(feat_loc, s_cols, taps, gfl_bias, axis))
+            if geometric:
+                y_loc = jax.nn.relu(geometric_filter_body(
+                    feat_loc, pos_loc, pos_full, r, taps, gfl_bias, axis,
+                    interpret=interpret))
+            else:
+                s_cols = gso_cols_body(pos_loc.astype(jnp.float32), r, axis)
+                y_loc = jax.nn.relu(
+                    graph_filter_body(feat_loc, s_cols, taps, gfl_bias, axis))
             logits_loc = dcp_act(variables, y_loc)
 
             actions = jnp.argmax(logits_loc, axis=-1)
@@ -131,10 +199,15 @@ def swarm_rollout(mesh: Mesh, variables, grid: jax.Array, starts: jax.Array,
         (pos_loc, reached_loc), path_loc = jax.lax.scan(step_fn, init, keys)
         return pos_loc, reached_loc, path_loc
 
+    # check_vma stays on for the dense path (regression guard); the pallas
+    # interpreter/lowering cannot yet mix varying operands with invariant
+    # grid indices, so the geometric path disables the check (the JAX
+    #-recommended workaround) — pcast degrades to a no-op there.
     final_pos, reached, path_tail = shard_map(
         body, mesh=mesh,
         in_specs=(P(axis, None), P(axis, None)),
-        out_specs=(P(axis, None), P(axis), P(None, axis, None)))(
+        out_specs=(P(axis, None), P(axis), P(None, axis, None)),
+        check_vma=not geometric)(
             jnp.asarray(starts, jnp.int32), jnp.asarray(goals, jnp.int32))
     paths = jnp.concatenate([jnp.asarray(starts, jnp.int32)[None],
                              path_tail], axis=0)

@@ -34,13 +34,19 @@ def pytest_configure(config):
         "markers",
         "tpu: opt-in real-TPU validation (run with `pytest -m tpu`); "
         "skipped in the default CPU suite")
+    config.addinivalue_line(
+        "markers",
+        "slow: opt-in multi-minute stress tests (run with `pytest -m slow`); "
+        "skipped in the default suite")
 
 
 def pytest_collection_modifyitems(config, items):
-    # tpu-marked tests run only when explicitly selected via -m.
-    if "tpu" in (config.option.markexpr or ""):
-        return
-    skip = pytest.mark.skip(reason="real-TPU test; run with -m tpu")
-    for item in items:
-        if "tpu" in item.keywords:
-            item.add_marker(skip)
+    # tpu-/slow-marked tests run only when explicitly selected via -m.
+    expr = config.option.markexpr or ""
+    for name in ("tpu", "slow"):
+        if name in expr:
+            continue
+        skip = pytest.mark.skip(reason=f"{name} test; run with -m {name}")
+        for item in items:
+            if name in item.keywords:
+                item.add_marker(skip)

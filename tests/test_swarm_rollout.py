@@ -94,3 +94,50 @@ def test_swarm_rollout_reaches_goals_with_greedyish_weights(mesh, model_vars):
                         jax.random.PRNGKey(0))
     assert out.reached.shape == (8,)
     assert out.final_pos.shape == (8, 2)
+
+
+def test_swarm_rollout_geometric_matches_dense_path(mesh, model_vars, rng):
+    """geometric=True (fused Pallas position->SpMM path, interpret mode)
+    produces the same trajectories as the dense gso_cols_body path."""
+    model, variables = model_vars
+    n, w = 16, 24
+    grid = (rng.rand(w, w) < 0.08).astype(np.float32)
+    grid[4:12, 4:12] = 0.0
+    block = np.array([(x, y) for x in range(4, 12) for y in range(4, 12)])
+    idx = rng.choice(len(block), n, replace=False)
+    starts = block[idx].astype(np.int32)
+    free = np.argwhere(grid == 0)
+    gidx = rng.choice(len(free), n, replace=False)
+    goals = free[gidx].astype(np.int32)
+    steps, radius = 6, 5.5
+
+    dense = swarm_rollout(mesh, variables, grid, starts, goals, radius,
+                          steps, jax.random.PRNGKey(3))
+    geo = swarm_rollout(mesh, variables, grid, starts, goals, radius,
+                        steps, jax.random.PRNGKey(3), geometric=True,
+                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(geo.paths),
+                                  np.asarray(dense.paths))
+
+
+@pytest.mark.slow  # ~8 min: interpret-mode pallas at N=1024 on the CPU mesh
+def test_swarm_rollout_geometric_parity_n1024(mesh, model_vars, rng):
+    """BASELINE.md stress regime: N=1024 agents sharded 8 ways, the
+    geometric path (no [N, N/d] dense block on any chip) matches the dense
+    column-block path step for step."""
+    model, variables = model_vars
+    n, w = 1024, 96
+    grid = np.zeros((w, w), np.float32)
+    free = np.array([(x, y) for x in range(w) for y in range(w)])
+    idx = rng.choice(len(free), 2 * n, replace=False)
+    starts = free[idx[:n]].astype(np.int32)
+    goals = free[idx[n:]].astype(np.int32)
+    steps, radius = 2, 6.0
+
+    dense = swarm_rollout(mesh, variables, grid, starts, goals, radius,
+                          steps, jax.random.PRNGKey(7))
+    geo = swarm_rollout(mesh, variables, grid, starts, goals, radius,
+                        steps, jax.random.PRNGKey(7), geometric=True,
+                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(geo.paths),
+                                  np.asarray(dense.paths))
