@@ -38,6 +38,34 @@ def dataset_dir(root: str | Path, map_w: int, map_h: int, density_label: int,
             / f"{num_agents}_Agent" / split)
 
 
+def save_map_png(grid: np.ndarray, path: str | Path) -> None:
+    """Render a generated map as a PNG (the reference's mapSet/ export,
+    CasesSolver.py:384-388: 200x200 px, obstacles black on white)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    fig = plt.figure(figsize=(2, 2), dpi=100)
+    ax = fig.add_axes([0, 0, 1, 1])
+    ax.imshow(grid.T, cmap="gray_r", origin="lower", interpolation="nearest")
+    ax.set_axis_off()
+    fig.savefig(path)
+    plt.close(fig)
+
+
+def export_map_set(pool: CasePool, out_root: str | Path) -> int:
+    """Write one ``mapSet/IDMap{m:05d}.png`` per distinct map in the pool
+    (reference dirName_mapSet scheme, CasesSolver.py:101,384)."""
+    out = Path(out_root) / "mapSet"
+    out.mkdir(parents=True, exist_ok=True)
+    seen: set[int] = set()
+    for grid, m in zip(pool.grids, pool.map_ids):
+        if m in seen:
+            continue
+        seen.add(m)
+        save_map_png(np.asarray(grid), out / f"IDMap{m:05d}.png")
+    return len(seen)
+
+
 def generate_case_pool(num_maps: int, cases_per_map: int, map_w: int,
                        map_h: int, num_agents: int, complexity: float = 0.01,
                        density: float = 0.1, seed: int = 1337) -> CasePool:
@@ -94,9 +122,12 @@ def generate_dataset(root: str | Path, map_w: int = 20, map_h: int = 20,
                      density: float = 0.1, comm_radius: float = 6.0,
                      workers: int = 4, seed: int = 1337,
                      map_type: str = "map",
-                     timeout: float = 300.0) -> dict[str, int]:
+                     timeout: float = 300.0,
+                     export_maps: bool = False) -> dict[str, int]:
     """Full dataset generation. ``splits`` maps split name ->
-    (num_maps, cases_per_map); defaults to a small smoke-scale set."""
+    (num_maps, cases_per_map); defaults to a small smoke-scale set.
+    ``export_maps`` also writes mapSet/IDMap*.png images per split
+    (CasesSolver.py:384)."""
     splits = splits or {"train": (4, 8), "valid": (1, 4), "test": (1, 4)}
     counts = {}
     for i, (split, (n_maps, n_cases)) in enumerate(splits.items()):
@@ -104,6 +135,8 @@ def generate_dataset(root: str | Path, map_w: int = 20, map_h: int = 20,
                                   complexity, density, seed + 7919 * i)
         base = dataset_dir(root, map_w, map_h, density_label, num_agents,
                            split, map_type).parent
+        if export_maps:
+            export_map_set(pool, base)
         counts[split] = solve_and_save(pool, base, split, algo=algo,
                                        comm_radius=comm_radius,
                                        workers=workers, timeout=timeout)

@@ -9,7 +9,13 @@ generation / analysis) complement to the jit-able ops in ``ops.gso``:
   ``compute_neighborhood`` (:218), ``is_connected`` (:396 — here via exact
   boolean reachability instead of the eigendecomposition),
   ``sparsify_graph`` (:425), graph generators (:516 ``createGraph``: SBM,
-  small-world, geometric), and the ``Graph`` container class (:1027).
+  small-world, geometric), the ``Graph`` container class (:1027), node
+  orderings ``perm_identity``/``perm_degree``/``perm_spectral_proxies``/
+  ``perm_eds`` (:824-996) and ``edge_fail_sampling`` (:997).
+
+The reference's metis/graclus coarsening pipeline (graphTools.py:1171-1448)
+is intentionally excluded: it is dead code in the MAPF pipeline (only
+reachable through the vendored GSP dataset experiments) — see PARITY.md.
 """
 from __future__ import annotations
 
@@ -134,6 +140,72 @@ def create_graph(kind: str, n: int, rng: np.random.RandomState | None = None,
         np.fill_diagonal(w, 0)
         return w
     raise ValueError(kind)
+
+
+def _permute_gso(s: np.ndarray, order: np.ndarray) -> np.ndarray:
+    """Apply a node ordering to a [N, N] or [E, N, N] GSO."""
+    if s.ndim == 2:
+        return s[np.ix_(order, order)]
+    return s[:, order][:, :, order]
+
+
+def _mean_gso(s: np.ndarray) -> np.ndarray:
+    """Collapse an [E, N, N] multi-edge GSO to [N, N] (mean over E), the
+    reference's convention for the score-based orderings."""
+    return s if s.ndim == 2 else s.mean(axis=0)
+
+
+def perm_identity(s: np.ndarray) -> tuple[np.ndarray, list[int]]:
+    """Identity node ordering (graphTools.py:824)."""
+    n = s.shape[-1]
+    return s.copy(), list(range(n))
+
+
+def perm_degree(s: np.ndarray) -> tuple[np.ndarray, list[int]]:
+    """Order nodes by decreasing degree (graphTools.py:854)."""
+    deg = _mean_gso(np.abs(s)).sum(axis=1)
+    order = np.argsort(-deg, kind="stable")
+    return _permute_gso(s, order), order.tolist()
+
+
+def perm_spectral_proxies(s: np.ndarray, k: int = 8) -> tuple[np.ndarray, list[int]]:
+    """Order nodes by the greedy spectral-proxies sampling score
+    (graphTools.py:888): repeatedly pick the node with the largest squared
+    entry of the minimum-eigenvalue eigenvector of ((S^T)^k S^k) restricted
+    to the not-yet-chosen nodes."""
+    simple = _mean_gso(s)
+    n = simple.shape[0]
+    sk = np.linalg.matrix_power(simple, k)
+    m = np.linalg.matrix_power(simple.conj().T, k) @ sk  # (S^T)^k S^k
+    chosen: list[int] = []
+    remaining = list(range(n))
+    while remaining:
+        sub = m[np.ix_(remaining, remaining)]
+        vals, vecs = np.linalg.eig(sub)
+        phi = vecs[:, np.argmin(vals.real)]
+        chosen.append(remaining.pop(int(np.argmax(np.abs(phi) ** 2))))
+    return _permute_gso(s, np.asarray(chosen)), chosen
+
+
+def perm_eds(s: np.ndarray) -> tuple[np.ndarray, list[int]]:
+    """Order nodes by the experimentally-designed-sampling score
+    (graphTools.py:948): descending max-|eigenvector-entry|^2 per node."""
+    _, vecs = np.linalg.eig(_mean_gso(s))
+    kappa2 = np.max(np.abs(vecs), axis=1) ** 2
+    order = np.flip(np.argsort(kappa2))
+    return _permute_gso(s, order), order.tolist()
+
+
+def edge_fail_sampling(w: np.ndarray, p: float,
+                       rng: np.random.RandomState | None = None) -> np.ndarray:
+    """Delete each (undirected) edge independently with probability ``p``
+    (graphTools.py:997), keeping symmetry."""
+    rng = rng or np.random.RandomState()
+    n = w.shape[0]
+    keep = rng.rand(n, n) >= p
+    keep = np.triu(keep, 1)
+    keep = keep | keep.T
+    return w * keep
 
 
 class Graph:

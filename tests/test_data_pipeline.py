@@ -151,3 +151,15 @@ def test_statistics_mat_archive(tmp_path):
     back = sio.loadmat(p)
     assert float(back["rate_ReachGoal"]) == 0.9
     assert back["exp_net"][0] == "dcp"
+
+
+def test_map_set_png_export(tmp_path, rng):
+    """mapSet/IDMap{m:05d}.png per distinct map (CasesSolver.py:384)."""
+    from gnn_pathplanning_tpu.data.cases import (export_map_set,
+                                                 generate_case_pool)
+    pool = generate_case_pool(2, 2, 12, 12, 2, seed=3)
+    n = export_map_set(pool, tmp_path)
+    pngs = sorted((tmp_path / "mapSet").glob("IDMap*.png"))
+    assert n == len(pngs) == len(set(pool.map_ids))
+    assert pngs[0].name == "IDMap00000.png"
+    assert pngs[0].stat().st_size > 100

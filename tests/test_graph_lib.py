@@ -173,3 +173,47 @@ def test_graph_tools_roundtrip(rng):
     assert graph.N == 12 and graph.S.shape == (12, 12)
     sp = gt.sparsify_graph(w, "NN", 2)
     assert (sp.sum(1) > 0).any()
+
+
+# ------------------------------------------------ node orderings (:824-996)
+
+def _perm_fixture(rng):
+    w = (rng.rand(8, 8) < 0.4).astype(np.float64)
+    w = np.triu(w, 1)
+    w = w + w.T
+    w[0] = 1.0  # give node 0 the max degree
+    w[:, 0] = 1.0
+    np.fill_diagonal(w, 0.0)
+    return w
+
+
+def test_perm_degree_orders_by_degree(rng):
+    from gnn_pathplanning_tpu.utils.graph_tools import perm_degree
+    w = _perm_fixture(rng)
+    permed, order = perm_degree(w)
+    deg = w.sum(1)
+    assert order[0] == 0  # max-degree node first
+    assert sorted(order) == list(range(8))
+    np.testing.assert_array_equal(permed, w[np.ix_(order, order)])
+    assert (np.diff(deg[order]) <= 1e-12).all()
+
+
+def test_perm_identity_and_eds_are_valid_permutations(rng):
+    from gnn_pathplanning_tpu.utils.graph_tools import (perm_eds,
+                                                        perm_identity,
+                                                        perm_spectral_proxies)
+    w = _perm_fixture(rng)
+    for fn in (perm_identity, perm_eds, perm_spectral_proxies):
+        permed, order = fn(w)
+        assert sorted(order) == list(range(8)), fn.__name__
+        np.testing.assert_array_equal(permed, w[np.ix_(order, order)])
+
+
+def test_edge_fail_sampling_keeps_symmetry(rng):
+    from gnn_pathplanning_tpu.utils.graph_tools import edge_fail_sampling
+    w = _perm_fixture(rng)
+    out = edge_fail_sampling(w, 0.5, rng)
+    np.testing.assert_array_equal(out, out.T)
+    assert (out <= w).all()
+    out0 = edge_fail_sampling(w, 0.0, rng)
+    np.testing.assert_array_equal(out0, w)
