@@ -31,9 +31,16 @@ MAP_W = 20
 
 
 def get_baseline() -> float:
+    """Torch-CPU reference-style loop on this host (benchmarks/
+    torch_baseline.py). NOTE: the reference itself ran on a GPU; this rig
+    has none, so vs_baseline is 'vs torch-CPU on this 2-core host'. The
+    cache is invalidated when the baseline script changes."""
     cache = REPO / "benchmarks" / "baseline_torch.json"
-    if not cache.exists():
-        subprocess.run([sys.executable, str(REPO / "benchmarks" / "torch_baseline.py")],
+    script = REPO / "benchmarks" / "torch_baseline.py"
+    stale = (not cache.exists()
+             or cache.stat().st_mtime < script.stat().st_mtime)
+    if stale:
+        subprocess.run([sys.executable, str(script)],
                        check=True, capture_output=True, timeout=1200)
     return float(json.loads(cache.read_text())["agent_steps_per_s"])
 
