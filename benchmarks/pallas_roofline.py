@@ -1,0 +1,172 @@
+"""On-device efficiency measurement for the fused geometric graph-conv.
+
+VERDICT r1 asked for profiler-grade evidence replacing the "tunnel
+overhead" conjecture: the axon backend adds a ~25-30 ms fixed dispatch cost
+per Mosaic-containing executable (ROUND1.md), so single-call wall times say
+nothing about the kernel. This harness amortizes that cost away by chaining
+``--chain`` dependent SpMM applications inside ONE jitted program (z <-
+spmm(pos, z)), timing steady state, and subtracting the measured
+empty-program dispatch floor:
+
+    per_call = (t(chain=C) - t(chain=0)) / C
+
+It reports, per swarm size N:
+- on-device time per fused SpMM application,
+- modeled HBM traffic per application (x-block reads for *active* block
+  pairs + coordinate planes + output writes) and the implied achieved GB/s
+  vs the chip's peak (v5e ~819 GB/s),
+- MXU work (2 * active_pairs * BLOCK^2 * G flops) and implied TFLOP/s,
+- the dense-path equivalent (build NxN GSO + one [N,N]x[N,G] matmul) for
+  the crossover comparison (dense skipped above --dense-max agents).
+
+Positions are spatially sorted (ops.pallas_swarm.spatial_sort) so the
+block-pair mask actually prunes; the active-pair count is reported.
+
+Run on the real chip (TPU is the default platform on this rig):
+  python benchmarks/pallas_roofline.py --sizes 1024 2048 4096 16384
+Writes benchmarks/pallas_roofline.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+V5E_HBM_GBPS = 819.0   # v5e peak HBM bandwidth
+V5E_BF16_TFLOPS = 394.0  # v5e peak bf16 MXU (f32 inputs run at half)
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--sizes", type=int, nargs="+",
+                   default=[1024, 2048, 4096, 16384])
+    p.add_argument("--feats", type=int, default=128)
+    p.add_argument("--degree", type=float, default=24.0)
+    p.add_argument("--chain", type=int, default=100)
+    p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--dense-max", type=int, default=4096)
+    p.add_argument("--out", type=str,
+                   default=str(REPO / "benchmarks" / "pallas_roofline.json"))
+    return p.parse_args()
+
+
+def make_swarm(n: int, degree: float, seed: int = 1337):
+    r = 6.0
+    density = degree / (np.pi * r * r)
+    side = np.sqrt(n / density)
+    rng = np.random.RandomState(seed)
+    pos = rng.rand(n, 2).astype(np.float32) * side
+    return pos, r
+
+
+def timed(fn, *args, reps: int):
+    import jax
+    jax.block_until_ready(fn(*args))  # compile + warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def measure_size(n: int, args) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from gnn_pathplanning_tpu.ops.pallas_swarm import (
+        BLOCK, block_pair_mask, geometric_spmm, pad_agents, spatial_sort)
+
+    g = args.feats
+    pos, r = make_swarm(n, args.degree)
+    order = np.asarray(spatial_sort(jnp.asarray(pos), cell=float(r)))
+    pos = pos[order]
+    pos_pad, _, valid = pad_agents(jnp.asarray(pos))
+    mask = block_pair_mask(pos_pad, r, valid)
+    active_pairs = int(np.asarray(mask).sum())
+    nb = pos_pad.shape[0] // BLOCK
+    rng = np.random.RandomState(7)
+    x0 = jnp.asarray(rng.rand(pos_pad.shape[0], g).astype(np.float32))
+
+    def chain(c):
+        @jax.jit
+        def run(x):
+            def body(_, z):
+                return geometric_spmm(pos_pad, z, r, valid, mask)
+            return jax.lax.fori_loop(0, c, body, x)
+        return run
+
+    t0 = timed(chain(0), x0, reps=args.reps)          # dispatch floor
+    tc = timed(chain(args.chain), x0, reps=args.reps)
+    per_call = (tc - t0) / args.chain
+
+    # HBM traffic model per fused SpMM application: every active block pair
+    # reads its sender x block (BLOCK x G f32) + 6 coordinate planes
+    # (_SUB x BLOCK f32 each, sender + receiver x/y/valid); each receiver
+    # block is zero-initialized and written once.
+    from gnn_pathplanning_tpu.ops.pallas_swarm import _SUB
+    bytes_pairs = active_pairs * (BLOCK * g * 4 + 6 * _SUB * BLOCK * 4)
+    bytes_out = 2 * nb * BLOCK * g * 4          # init + final write
+    model_bytes = bytes_pairs + bytes_out
+    achieved_gbps = model_bytes / per_call / 1e9
+    flops = 2 * active_pairs * BLOCK * BLOCK * g
+    achieved_tflops = flops / per_call / 1e12
+
+    row = {
+        "agents": n, "padded": int(pos_pad.shape[0]), "blocks": nb,
+        "active_pairs": active_pairs, "total_pairs": nb * nb,
+        "dispatch_floor_s": t0, "chain": args.chain,
+        "per_call_s": per_call,
+        "model_hbm_bytes": model_bytes,
+        "achieved_hbm_gbps": achieved_gbps,
+        "hbm_roofline_pct": 100 * achieved_gbps / V5E_HBM_GBPS,
+        "mxu_flops": flops,
+        "achieved_tflops": achieved_tflops,
+    }
+
+    # Dense crossover: build the normalized GSO from positions and apply one
+    # [N, N] x [N, G] matmul (what ops.graph_filter does per hop).
+    if n <= args.dense_max:
+        posj = jnp.asarray(pos)
+
+        def dense_chain(c):
+            @jax.jit
+            def run(x):
+                d2 = jnp.sum((posj[:, None] - posj[None, :]) ** 2, -1)
+                w = jnp.where((d2 < r * r) & (d2 > 0), 1.0, 0.0)
+                def body(_, z):
+                    return w.T @ z
+                return jax.lax.fori_loop(0, c, body, x[:n])
+            return run
+
+        td0 = timed(dense_chain(0), x0, reps=args.reps)
+        tdc = timed(dense_chain(args.chain), x0, reps=args.reps)
+        row["dense_per_call_s"] = (tdc - td0) / args.chain
+        row["fused_speedup_vs_dense"] = row["dense_per_call_s"] / per_call
+    return row
+
+
+def main() -> int:
+    args = parse_args()
+    import jax
+    plat = jax.devices()[0].platform
+    rows = [measure_size(n, args) for n in args.sizes]
+    result = {"platform": plat, "device": str(jax.devices()[0]),
+              "feats": args.feats, "target_degree": args.degree,
+              "method": ("chained dependent SpMMs inside one jit minus the "
+                         "measured empty-program dispatch floor"),
+              "hbm_peak_gbps": V5E_HBM_GBPS, "rows": rows}
+    Path(args.out).write_text(json.dumps(result, indent=2))
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
