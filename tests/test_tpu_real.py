@@ -59,8 +59,20 @@ geo = jax.jit(lambda p, xx, v: graph_filter_geometric(
 adj = adjacency_from_positions(jnp.asarray(pos), 6.0)
 gso = normalize_adjacency(adj)
 
+from gnn_pathplanning_tpu.ops.pallas_swarm import (block_pair_mask,
+                                                   geometric_spmm)
+
+# Rectangular sender x receiver SpMM (the agent-sharded rollout's form):
+# senders = all 100 agents, receivers = the first 50.
+recv_pos, _, recv_valid = pad_agents(jnp.asarray(pos[:50]))
+rect_mask = block_pair_mask(pos_p, 6.0, valid, recv_pos, recv_valid)
+rect = jax.jit(lambda: geometric_spmm(pos_p, xg_p, 6.0, valid, rect_mask,
+                                      recv_pos=recv_pos,
+                                      recv_valid=recv_valid))()
+
 np.savez(out_path, dense=np.asarray(dense), geo=np.asarray(geo),
-         valid=np.asarray(valid), gso=np.asarray(gso))
+         valid=np.asarray(valid), gso=np.asarray(gso),
+         rect=np.asarray(rect), recv_valid=np.asarray(recv_valid))
 print("tpu child ok")
 """
 
@@ -114,4 +126,24 @@ def test_pallas_geometric_matches_cpu_dense(tpu_results):
                                    jnp.asarray(w), jnp.asarray(bias)))[0]
     valid = tpu_results["valid"].astype(bool)
     got = tpu_results["geo"][valid]
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_rectangular_spmm_matches_cpu(tpu_results):
+    """Real-TPU rectangular (sender x receiver) fused SpMM — the form the
+    agent-sharded rollout uses — vs a CPU dense contraction."""
+    rng = np.random.RandomState(0)
+    b, n, g, f, k = 2, 64, 8, 8, 3
+    _ = rng.randn(b, n, g), rng.randn(b, n, n)
+    _ = rng.randn(k, g, f), rng.randn(f)
+    idx = rng.choice(48 * 48, size=100, replace=False)
+    pos = np.stack([idx // 48, idx % 48], -1).astype(np.float32)
+    xg = rng.randn(100, g).astype(np.float32)
+
+    d2 = ((pos[:, None] - pos[None, :50]) ** 2).sum(-1)  # [100 send, 50 recv]
+    w = ((d2 < 36.0) & (d2 > 0)).astype(np.float32)
+    want = w.T @ xg                                       # [50, g]
+
+    recv_valid = tpu_results["recv_valid"].astype(bool)
+    got = tpu_results["rect"][recv_valid]
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
