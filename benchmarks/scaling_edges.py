@@ -50,6 +50,11 @@ def parse_args():
     p.add_argument("--geometric", action="store_true",
                    help="route through the fused Pallas kernels "
                         "(real TPU only)")
+    p.add_argument("--halo", action="store_true",
+                   help="strip-partitioned neighbor-only halo exchange "
+                        "(constant per-chip collective volume; requires "
+                        "the strip invariant — the harness sorts agents "
+                        "and verifies it)")
     p.add_argument("--out", type=str,
                    default=str(REPO / "benchmarks" / "scaling_edges.json"))
     return p.parse_args()
@@ -80,6 +85,14 @@ def measure(n_devices: int, args) -> dict:
     mesh = make_mesh(n_devices, ("agents",))
     n = args.n_per_device * n_devices
     pos, r, edges = make_swarm(n, args.degree, seed=1337)
+    if args.halo:
+        from gnn_pathplanning_tpu.parallel import (strip_halo_exact,
+                                                   strip_partition)
+        pos = pos[strip_partition(pos)]
+        if not strip_halo_exact(pos, n_devices, r):
+            print(f"d={n_devices}: strip invariant violated "
+                  "(strips narrower than commR) — halo result approximate",
+                  file=sys.stderr)
     rng = np.random.RandomState(7)
     x = jnp.asarray(rng.rand(n, args.feats).astype(np.float32))
     w = jnp.asarray(rng.rand(args.taps, args.feats, args.feats)
@@ -99,6 +112,13 @@ def measure(n_devices: int, args) -> dict:
             return geometric_filter_body(x_loc, pos_loc, pos_full, rr, w,
                                          None, "agents")
         check = False
+    elif args.halo:
+        from gnn_pathplanning_tpu.parallel.halo import halo_filter_body
+
+        def body(pos_loc, x_loc):
+            return halo_filter_body(x_loc, pos_loc, rr, w, None, "agents",
+                                    n_devices)
+        check = True
     else:
         def body(pos_loc, x_loc):
             s_cols = gso_cols_body(pos_loc, rr, "agents")
@@ -119,13 +139,22 @@ def measure(n_devices: int, args) -> dict:
 
     hops = args.taps - 1
     edges_per_s = edges * hops * args.iters / dt
-    # Analytic per-chip collective volume per filter application: each hop
-    # all_gathers the full feature matrix ([N, G] f32) as the K-hop halo.
-    gather_bytes = hops * n * args.feats * 4
-    # Per-chip matmul work per application (dense column-block path):
-    # GSO build [N, N/d] + hops x [N, N/d] x [N/d, G] contractions.
     n_loc = n // n_devices
-    flops = hops * 2 * n * n_loc * args.feats
+    if args.halo:
+        # Neighbor-only exchange: per hop each chip sends/receives its
+        # [N/d, G] block to/from both adjacent strips; plus one [N/d, 2]
+        # position and one [N/d] degree exchange per application.
+        # CONSTANT in the device count — the weak-scaling property.
+        gather_bytes = (hops * 2 * n_loc * args.feats
+                        + 2 * n_loc * 3) * 4
+        flops = hops * 2 * (3 * n_loc) * n_loc * args.feats
+    else:
+        # Analytic per-chip collective volume per filter application: each
+        # hop all_gathers the full feature matrix ([N, G] f32) as the halo.
+        gather_bytes = hops * n * args.feats * 4
+        # Per-chip matmul work per application (dense column-block path):
+        # GSO build [N, N/d] + hops x [N, N/d] x [N/d, G] contractions.
+        flops = hops * 2 * n * n_loc * args.feats
     return {"devices": n_devices, "agents": n, "edges": edges,
             "hops": hops, "iters": args.iters, "seconds": dt,
             "edges_per_s": edges_per_s,
@@ -168,7 +197,8 @@ def main() -> int:
                   "analytic per-chip collective volume instead"
                   if args.platform == "cpu"
                   else "single real TPU v5e chip"),
-        "path": "geometric-pallas" if args.geometric else "dense-columns",
+        "path": ("geometric-pallas" if args.geometric
+                 else "halo-strips" if args.halo else "dense-columns"),
         "n_per_device": args.n_per_device, "feats": args.feats,
         "taps": args.taps, "target_degree": args.degree,
         "rows": rows,
