@@ -37,6 +37,7 @@ from ..env.simulator import DELTAS, STOP, collision_shield
 from ..ops.fov import render_fov
 from ..ops.pallas_swarm import (block_pair_mask, geometric_degrees,
                                 geometric_spmm, pad_agents, pad_to_block)
+from .halo import halo_filter_body
 from .swarm import graph_filter_body, gso_cols_body
 
 
@@ -137,6 +138,119 @@ class SwarmRollout(NamedTuple):
     final_pos: jax.Array   # [N, 2]
     reached: jax.Array     # [N] bool (latched)
     paths: jax.Array       # [T+1, N, 2]
+
+
+class HaloRollout(NamedTuple):
+    final_pos: jax.Array   # [N, 2]
+    reached: jax.Array     # [N] bool (latched)
+    paths: jax.Array       # [T+1, N, 2]
+    exact: jax.Array       # [T] bool: strip invariant held at each step
+
+
+def swarm_rollout_halo(mesh: Mesh, variables, grid: jax.Array,
+                       starts: jax.Array, goals: jax.Array, radius: float,
+                       steps: int, key: jax.Array,
+                       axis: str = "agents") -> HaloRollout:
+    """Closed-loop rollout with *constant per-chip collective volume*.
+
+    Every step re-partitions agents into x-sorted strips (ownership is
+    decoupled from agent identity), renders/encodes each chip's owned
+    agents, and exchanges K-hop features with only the two adjacent strips
+    (:func:`.halo.halo_filter_body`) — 2*(N/d)*G bytes per hop per chip
+    regardless of device count, vs the N*G all_gather of the dense and
+    geometric paths.  Only O(N) scalars (positions, proposed moves) cross
+    the full mesh, so the feature traffic weak-scales to pod size.
+
+    Collision shielding runs on the replicated identity-order global state
+    with the same PRNG key schedule as :func:`swarm_rollout`, so shield
+    decisions are bit-identical to the dense path; action logits match up
+    to summation-order rounding whenever the strip invariant (every strip
+    wider than the comm radius) holds.  ``exact[t]`` reports a sufficient
+    per-step check of that invariant (consecutive-strip x-gaps >= r), for
+    observability when agents crowd at swarm scale.
+    """
+    taps, gfl_bias = dcp_gfl(variables)
+    grid = jnp.asarray(grid, jnp.float32)
+    w, h = grid.shape
+    keys = jax.random.split(key, steps)
+    r = jnp.float32(radius)
+    d = mesh.shape[axis]
+    n = starts.shape[0]
+    n_loc = n // d
+
+    def body(starts_full, goals_full):
+        shard = jax.lax.axis_index(axis)
+
+        def step_fn(carry, step_key):
+            pos_full, reached_full = carry
+            # --- spatial re-partition: chip i owns the i-th x-strip
+            fpos = pos_full.astype(jnp.float32)
+            ids = jnp.lexsort((fpos[:, 1], fpos[:, 0]))          # [N]
+            my_ids = jax.lax.dynamic_slice_in_dim(ids, shard * n_loc, n_loc)
+            pos_loc = pos_full[my_ids]
+            goals_loc = goals_full[my_ids]
+
+            # sufficient exactness check: strips >= 2 apart have x-gap >= r
+            exact = jnp.asarray(True)
+            if d > 2:
+                x_sorted = fpos[ids, 0]
+                i = jnp.arange(d - 2)
+                gap = x_sorted[(i + 2) * n_loc] - x_sorted[(i + 1) * n_loc - 1]
+                exact = jnp.all(gap >= r)
+
+            obs_loc = render_fov(grid, pos_loc, goals_loc,
+                                 occupancy_pos=pos_full)
+            feat_loc = dcp_encode(variables, obs_loc)
+            y_loc = jax.nn.relu(halo_filter_body(
+                feat_loc, pos_loc.astype(jnp.float32), r, taps, gfl_bias,
+                axis, d))
+            logits_loc = dcp_act(variables, y_loc)
+
+            actions = jnp.argmax(logits_loc, axis=-1)
+            prop = pos_loc + DELTAS[actions]
+            oob = ((prop[:, 0] < 0) | (prop[:, 0] >= w) |
+                   (prop[:, 1] < 0) | (prop[:, 1] >= h))
+            safe = jnp.clip(prop, 0, jnp.array([w - 1, h - 1], jnp.int32))
+            blocked = grid[safe[:, 0], safe[:, 1]] > 0
+            prop = jnp.where((oob | blocked)[:, None], pos_loc, prop)
+
+            # scatter proposals back to identity order ([N, 2] ints only)
+            prop_all = jax.lax.all_gather(prop, axis, tiled=True)   # [N, 2]
+            prop_full = jnp.zeros_like(pos_full).at[ids].set(prop_all)
+            nxt_full, _, _ = collision_shield(pos_full, prop_full, step_key)
+            reached_full = reached_full | jnp.all(nxt_full == goals_full,
+                                                  axis=-1)
+            # per-chip identity-order slice for the paths output
+            path_slice = jax.lax.dynamic_slice_in_dim(nxt_full,
+                                                      shard * n_loc, n_loc)
+            return (nxt_full, reached_full), (path_slice, exact)
+
+        # the carry passes through all_gather-derived values, which the vma
+        # system types as axis-varying — the init must match
+        init = (jax.lax.pcast(starts_full.astype(jnp.int32), (axis,),
+                              to="varying"),
+                jax.lax.pcast(jnp.zeros((n,), bool), (axis,), to="varying"))
+        (pos_full, reached_full), (path_loc, exact) = jax.lax.scan(
+            step_fn, init, keys)
+        final_loc = jax.lax.dynamic_slice_in_dim(pos_full, shard * n_loc,
+                                                 n_loc)
+        reached_loc = jax.lax.dynamic_slice_in_dim(reached_full,
+                                                   shard * n_loc, n_loc)
+        # exact is identical on every shard but typed varying; emit one row
+        # per shard and keep row 0 outside
+        return final_loc, reached_loc, path_loc, exact[None]
+
+    final_pos, reached, path_tail, exact = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(axis, None), P(axis), P(None, axis, None),
+                   P(axis, None)),
+        check_vma=True)(
+            jnp.asarray(starts, jnp.int32), jnp.asarray(goals, jnp.int32))
+    paths = jnp.concatenate([jnp.asarray(starts, jnp.int32)[None],
+                             path_tail], axis=0)
+    return HaloRollout(final_pos=final_pos, reached=reached, paths=paths,
+                       exact=exact[0])
 
 
 def swarm_rollout(mesh: Mesh, variables, grid: jax.Array, starts: jax.Array,

@@ -141,3 +141,33 @@ def test_swarm_rollout_geometric_parity_n1024(mesh, model_vars, rng):
                         interpret=True)
     np.testing.assert_array_equal(np.asarray(geo.paths),
                                   np.asarray(dense.paths))
+
+
+def test_swarm_rollout_halo_matches_dense_path(mesh, model_vars, rng):
+    """swarm_rollout_halo (neighbor-only feature exchange, per-step strip
+    re-partitioning) matches the dense path's trajectories while the strip
+    invariant holds."""
+    from gnn_pathplanning_tpu.parallel.swarm_rollout import swarm_rollout_halo
+    model, variables = model_vars
+    n, W, H = 32, 96, 12
+    grid = np.zeros((W, H), np.float32)
+    # agents spread along x (3 apart) so every strip of 4 spans ~12 >> r;
+    # goals within +-2 keep the invariant across all steps
+    xs = 3 * np.arange(n)
+    ys = rng.randint(0, H, n)
+    starts = np.stack([xs, ys], -1).astype(np.int32)
+    goals = starts + rng.randint(-2, 3, (n, 2)).astype(np.int32)
+    goals = np.clip(goals, 0, [W - 1, H - 1]).astype(np.int32)
+    steps, radius = 6, 2.5
+
+    dense = swarm_rollout(mesh, variables, grid, starts, goals, radius,
+                          steps, jax.random.PRNGKey(5))
+    halo = swarm_rollout_halo(mesh, variables, grid, starts, goals, radius,
+                              steps, jax.random.PRNGKey(5))
+    assert halo.exact.shape == (steps,)
+    assert bool(np.asarray(halo.exact).all()), \
+        "test construction must keep the strip invariant"
+    np.testing.assert_array_equal(np.asarray(halo.paths),
+                                  np.asarray(dense.paths))
+    np.testing.assert_array_equal(np.asarray(halo.reached),
+                                  np.asarray(dense.reached))
