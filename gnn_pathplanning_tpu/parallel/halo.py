@@ -151,6 +151,10 @@ def halo_graph_filter_sharded(mesh: Mesh, x: jax.Array, pos: jax.Array,
     2*(N/d)*G elements regardless of d (vs N*G for the all_gather path).
     """
     num_shards = mesh.shape[axis]
+    if x.shape[0] % num_shards:
+        raise ValueError(
+            f"agent count {x.shape[0]} must divide evenly across the "
+            f"{num_shards}-way '{axis}' mesh axis")
     r = jnp.asarray(radius, jnp.float32)
     if bias is None:
         bias = jnp.zeros((weights.shape[2],), x.dtype)

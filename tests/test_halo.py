@@ -112,3 +112,11 @@ def test_halo_filter_single_device():
                                     r, jnp.asarray(w), None)
     want = dense_oracle(x, pos, r, w, np.zeros(f, np.float32))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_halo_filter_indivisible_agents_error(mesh_agents):
+    x = jnp.zeros((12, 4))  # 12 agents on 8 devices
+    pos = jnp.zeros((12, 2))
+    w = jnp.zeros((2, 4, 4))
+    with pytest.raises(ValueError, match="divide evenly"):
+        halo_graph_filter_sharded(mesh_agents, x, pos, 2.0, w, None)
