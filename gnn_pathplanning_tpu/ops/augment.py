@@ -25,8 +25,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# Reference action order/deltas (multirobotsim_dcenlocal.py:22-26).
-_DELTAS = np.array([[-1, 0], [0, -1], [1, 0], [0, 1], [0, 0]], np.int32)
+from ..env.simulator import DELTAS as _SIM_DELTAS
+
+# Single source of truth for the action order/deltas
+# (env/simulator.py DELTAS, reference multirobotsim_dcenlocal.py:22-26) —
+# the label permutation below MUST match what the simulator executes.
+_DELTAS = np.asarray(_SIM_DELTAS, np.int32)
 
 
 def _linear(g: int, d: np.ndarray) -> np.ndarray:

@@ -176,6 +176,9 @@ def swarm_rollout_halo(mesh: Mesh, variables, grid: jax.Array,
     r = jnp.float32(radius)
     d = mesh.shape[axis]
     n = starts.shape[0]
+    if n % d:
+        raise ValueError(f"agent count {n} must divide evenly across the "
+                         f"{d}-way '{axis}' mesh axis")
     n_loc = n // d
 
     def body(starts_full, goals_full):

@@ -198,14 +198,22 @@ def perm_eds(s: np.ndarray) -> tuple[np.ndarray, list[int]]:
 
 def edge_fail_sampling(w: np.ndarray, p: float,
                        rng: np.random.RandomState | None = None) -> np.ndarray:
-    """Delete each (undirected) edge independently with probability ``p``
-    (graphTools.py:997), keeping symmetry."""
+    """Delete each edge independently with probability ``p``
+    (graphTools.py:997-1024 ``edgeFailSampling``): the keep mask covers the
+    FULL matrix (diagonal included), directed edges fail independently, and
+    an undirected input is re-symmetrized from its masked upper triangle
+    (including the reference's quirk of summing the diagonal twice — moot
+    for self-loop-free adjacencies)."""
+    assert 0 <= p <= 1
     rng = rng or np.random.RandomState()
     n = w.shape[0]
-    keep = rng.rand(n, n) >= p
-    keep = np.triu(keep, 1)
-    keep = keep | keep.T
-    return w * keep
+    undirected = np.allclose(w, w.T, atol=1e-9)
+    keep = (rng.rand(n, n) > p).astype(w.dtype)
+    w = w * keep
+    if undirected:
+        w = np.triu(w)
+        w = w + w.T
+    return w
 
 
 class Graph:
