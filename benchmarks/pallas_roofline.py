@@ -165,6 +165,10 @@ def measure_size(n: int, args) -> dict:
 
 def main() -> int:
     args = parse_args()
+    if args.chain < 2:
+        print("--chain must be >= 2 (per_call = (t_C - t_1)/(C-1))",
+              file=sys.stderr)
+        return 2
     import jax
     plat = jax.devices()[0].platform
     rows = [measure_size(n, args) for n in args.sizes]
