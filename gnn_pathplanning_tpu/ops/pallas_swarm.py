@@ -242,10 +242,157 @@ def geometric_spmm(pos: jax.Array, x: jax.Array, radius, valid: jax.Array,
     return out
 
 
+def compact_sender_index(mask: jax.Array, cap: int):
+    """Compact the block-pair mask into per-receiver sender lists.
+
+    The dense-grid kernels iterate ALL (sender, receiver) block pairs and
+    rely on ``@pl.when`` to skip compute — but Pallas still DMAs the sender
+    x-block for every grid step, so at swarm scale >90% of HBM traffic is
+    spent on inactive pairs (measured: N=16384 runs at ~96% of v5e peak
+    bandwidth while only 7.7%% of pairs are active). This builds, for each
+    receiver block j, the list of active sender blocks so a scalar-prefetch
+    grid visits only those.
+
+    Args:
+      mask: [NB_send, NB_recv] 0/1 (from :func:`block_pair_mask`).
+      cap: static max senders per receiver (grid dimension). With
+        ``spatial_sort``-ed agents the active count per receiver is ~the
+        neighbor-cell count, roughly constant in N.
+
+    Returns:
+      (idx [NB_recv, cap] int32 — active sender blocks first, arbitrary
+      fill after; count [NB_recv] int32 clipped to cap; overflow bool —
+      True if any receiver had more active senders than cap, i.e. the
+      compact kernel WOULD drop edges and the caller must fall back).
+    """
+    raw = jnp.sum(mask, axis=0)                            # [NB_r]
+    order = jnp.argsort(1 - mask, axis=0, stable=True)     # active first
+    idx = order[:cap, :].T.astype(jnp.int32)               # [NB_r, cap]
+    count = jnp.minimum(raw, cap).astype(jnp.int32)
+    return idx, count, jnp.any(raw > cap)
+
+
+def _degree_kernel_compact(idx_ref, cnt_ref, r2_ref, pxi_ref, pyi_ref,
+                           vvi_ref, pxj_ref, pyj_ref, vvj_ref, out_ref):
+    j, k = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(k < cnt_ref[j])
+    def _():
+        w = _pair_weights(pxi_ref[0], pyi_ref[0], vvi_ref[0],
+                          pxj_ref[0], pyj_ref[0], vvj_ref[0], r2_ref[0])
+        out_ref[0, :] += jnp.sum(w, axis=0)
+
+
+def _spmm_kernel_compact(idx_ref, cnt_ref, r2_ref, pxi_ref, pyi_ref,
+                         vvi_ref, pxj_ref, pyj_ref, vvj_ref, x_ref, out_ref):
+    j, k = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(k < cnt_ref[j])
+    def _():
+        w = _pair_weights(pxi_ref[0], pyi_ref[0], vvi_ref[0],
+                          pxj_ref[0], pyj_ref[0], vvj_ref[0], r2_ref[0])
+        out_ref[:] += jnp.dot(w.T, x_ref[:],
+                              preferred_element_type=jnp.float32)
+
+
+def _compact_plane_specs():
+    # scalar-prefetch index maps receive the prefetch refs after the grid
+    # indices: (j, k, idx_ref, cnt_ref, r2_ref)
+    send = lambda: pl.BlockSpec((_SUB, BLOCK),
+                                lambda j, k, idx, cnt, r2: (idx[j, k], 0),
+                                memory_space=pltpu.VMEM)
+    recv = lambda: pl.BlockSpec((_SUB, BLOCK),
+                                lambda j, k, idx, cnt, r2: (j, 0),
+                                memory_space=pltpu.VMEM)
+    return [send(), send(), send()], [recv(), recv(), recv()]
+
+
+def geometric_degrees_compact(pos: jax.Array, radius, valid: jax.Array,
+                              idx: jax.Array, count: jax.Array,
+                              interpret: bool = False,
+                              recv_pos: jax.Array | None = None,
+                              recv_valid: jax.Array | None = None) -> jax.Array:
+    """Compact-grid variant of :func:`geometric_degrees`: only the (up to
+    ``cap``) active sender blocks per receiver are visited/DMA'd."""
+    px, py, vv = _planes(pos, valid)
+    if recv_pos is None:
+        qx, qy, qv = px, py, vv
+        nb_r = pos.shape[0] // BLOCK
+    else:
+        nb_r = recv_pos.shape[0] // BLOCK
+        qx, qy, qv = _planes(recv_pos, recv_valid)
+    cap = idx.shape[1]
+    r2 = (jnp.asarray(radius, jnp.float32) ** 2).reshape(1)
+    send, recv = _compact_plane_specs()
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb_r, cap),
+        in_specs=[*send, *recv],
+        out_specs=pl.BlockSpec((_SUB, BLOCK),
+                               lambda j, k, *_: (j, 0),
+                               memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        _degree_kernel_compact,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb_r * _SUB, BLOCK), jnp.float32,
+                                       vma=_join_vma(idx, px, qx)),
+        interpret=interpret,
+    )(idx, count, r2, px, py, vv, qx, qy, qv)
+    return out.reshape(nb_r, _SUB, BLOCK)[:, 0].reshape(-1)
+
+
+def geometric_spmm_compact(pos: jax.Array, x: jax.Array, radius,
+                           valid: jax.Array, idx: jax.Array,
+                           count: jax.Array, interpret: bool = False,
+                           recv_pos: jax.Array | None = None,
+                           recv_valid: jax.Array | None = None) -> jax.Array:
+    """Compact-grid variant of :func:`geometric_spmm`: the sender x-block
+    DMA happens only for active block pairs (plus the <= cap fill slots),
+    cutting HBM traffic by the inactive fraction — the dense-grid kernel
+    already runs at ~96%% of v5e bandwidth, so traffic is the lever."""
+    n, g = x.shape
+    px, py, vv = _planes(pos, valid)
+    if recv_pos is None:
+        qx, qy, qv, n_r = px, py, vv, n
+    else:
+        n_r = recv_pos.shape[0]
+        qx, qy, qv = _planes(recv_pos, recv_valid)
+    nb_r = n_r // BLOCK
+    cap = idx.shape[1]
+    r2 = (jnp.asarray(radius, jnp.float32) ** 2).reshape(1)
+    send, recv = _compact_plane_specs()
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb_r, cap),
+        in_specs=[*send, *recv,
+                  pl.BlockSpec((BLOCK, g),
+                               lambda j, k, idx_ref, cnt, r2: (idx_ref[j, k], 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((BLOCK, g), lambda j, k, *_: (j, 0),
+                               memory_space=pltpu.VMEM))
+    out = pl.pallas_call(
+        _spmm_kernel_compact,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_r, g), jnp.float32,
+                                       vma=_join_vma(idx, px, qx, x)),
+        interpret=interpret,
+    )(idx, count, r2, px, py, vv, qx, qy, qv, x)
+    return out
+
+
 def graph_filter_geometric(pos: jax.Array, x: jax.Array, radius,
                            weights: jax.Array, bias: jax.Array | None = None,
                            valid: jax.Array | None = None,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           cap: int | None = None) -> jax.Array:
     """Full K-tap graph filter over the radius graph without materializing
     the GSO: matches ``ops.graph_filter(x, normalize(adjacency(pos, r)), w,
     b)`` on the valid lanes.
@@ -254,6 +401,11 @@ def graph_filter_geometric(pos: jax.Array, x: jax.Array, radius,
     agents. Positions must be pairwise distinct (the MAPF collision-free
     invariant): co-located agents are treated as self-edges and removed,
     where the dense oracle would keep a distance-0 edge.
+
+    ``cap`` routes the hops through the compacted scalar-prefetch grid
+    (sender x-blocks DMA'd only for active pairs). If any receiver block
+    has more than ``cap`` active sender blocks, a ``lax.cond`` falls back
+    to the exhaustive dense-grid kernels — results are exact either way.
     """
     n = pos.shape[0]
     assert n % BLOCK == 0, "pad inputs to a BLOCK multiple (pad_agents)"
@@ -261,7 +413,38 @@ def graph_filter_geometric(pos: jax.Array, x: jax.Array, radius,
         valid = jnp.ones((n,), jnp.float32)
     mask = block_pair_mask(pos, radius, valid)
 
-    deg = geometric_degrees(pos, radius, valid, mask, interpret)
+    if cap is not None:
+        idx, count, overflow = compact_sender_index(mask, cap)
+
+        def deg_fn(args):
+            pos_, valid_ = args
+            return geometric_degrees_compact(pos_, radius, valid_, idx,
+                                             count, interpret)
+
+        def deg_dense(args):
+            pos_, valid_ = args
+            return geometric_degrees(pos_, radius, valid_, mask, interpret)
+
+        deg = jax.lax.cond(overflow, deg_dense, deg_fn, (pos, valid))
+
+        def spmm(z):
+            def go(args):
+                pos_, z_, valid_ = args
+                return geometric_spmm_compact(pos_, z_, radius, valid_,
+                                              idx, count, interpret)
+
+            def go_dense(args):
+                pos_, z_, valid_ = args
+                return geometric_spmm(pos_, z_, radius, valid_, mask,
+                                      interpret)
+
+            return jax.lax.cond(overflow, go_dense, go, (pos, z, valid))
+    else:
+        deg = geometric_degrees(pos, radius, valid, mask, interpret)
+
+        def spmm(z):
+            return geometric_spmm(pos, z, radius, valid, mask, interpret)
+
     inv_sqrt = jnp.where(deg > 1e-9, jax.lax.rsqrt(jnp.maximum(deg, 1e-9)),
                          0.0)
 
@@ -269,8 +452,7 @@ def graph_filter_geometric(pos: jax.Array, x: jax.Array, radius,
     zs = [x]
     z = x
     for _ in range(1, k_taps):
-        z = inv_sqrt[:, None] * geometric_spmm(
-            pos, inv_sqrt[:, None] * z, radius, valid, mask, interpret)
+        z = inv_sqrt[:, None] * spmm(inv_sqrt[:, None] * z)
         zs.append(z)
     stacked = jnp.concatenate(zs, axis=-1)
     w2 = weights.reshape(k_taps * weights.shape[1], weights.shape[2])

@@ -88,3 +88,57 @@ def test_padding_lanes_are_inert(rng):
     out = np.asarray(ps.graph_filter_geometric(pos_p, x_p, 6.0, jnp.array(w),
                                                None, valid, interpret=True))
     assert np.all(out[n:] == 0)
+
+
+def test_compact_spmm_matches_dense_grid(rng):
+    """Compacted scalar-prefetch grid == exhaustive grid (interpret)."""
+    n, g, r = 500, 16, 8.0
+    pos = _swarm(rng, n, world=120)
+    order = np.asarray(ps.spatial_sort(jnp.asarray(pos), cell=r))
+    pos = pos[order]
+    pos_p, x_p, valid = ps.pad_agents(jnp.asarray(pos),
+                                      jnp.asarray(rng.rand(n, g)
+                                                  .astype(np.float32)))
+    mask = ps.block_pair_mask(pos_p, r, valid)
+    cap = int(np.asarray(mask).sum(axis=0).max())
+    idx, count, overflow = ps.compact_sender_index(mask, cap)
+    assert not bool(overflow)
+
+    want = np.asarray(ps.geometric_spmm(pos_p, x_p, r, valid, mask,
+                                        interpret=True))
+    got = np.asarray(ps.geometric_spmm_compact(pos_p, x_p, r, valid, idx,
+                                               count, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    dw = np.asarray(ps.geometric_degrees(pos_p, r, valid, mask,
+                                         interpret=True))
+    dg = np.asarray(ps.geometric_degrees_compact(pos_p, r, valid, idx,
+                                                 count, interpret=True))
+    np.testing.assert_allclose(dg, dw, rtol=1e-6, atol=1e-6)
+
+
+def test_compact_filter_with_overflow_fallback(rng):
+    """cap smaller than the true max sender count must flag overflow and
+    graph_filter_geometric(cap=...) must still be exact via the fallback."""
+    n, g, f, k, r = 300, 8, 4, 3, 10.0
+    pos = _swarm(rng, n, world=50)  # dense swarm: many active pairs
+    order = np.asarray(ps.spatial_sort(jnp.asarray(pos), cell=r))
+    pos = pos[order]
+    x = rng.rand(n, g).astype(np.float32)
+    w = rng.randn(k, g, f).astype(np.float32) * 0.1
+    pos_p, x_p, valid = ps.pad_agents(jnp.asarray(pos), jnp.asarray(x))
+    mask = ps.block_pair_mask(pos_p, r, valid)
+    true_max = int(np.asarray(mask).sum(axis=0).max())
+    assert true_max >= 2, "test swarm must couple blocks"
+
+    _, _, overflow = ps.compact_sender_index(mask, true_max - 1)
+    assert bool(overflow)
+
+    s, _, _ = compute_gso(jnp.asarray(pos), jnp.float32(r))
+    want = np.asarray(graph_filter(jnp.asarray(x)[None], s[None],
+                                   jnp.asarray(w))[0])
+    for cap in (true_max - 1, true_max):  # overflow path and compact path
+        got = np.asarray(ps.graph_filter_geometric(
+            pos_p, x_p, r, jnp.asarray(w), valid=valid, interpret=True,
+            cap=cap))[:n]
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
