@@ -38,32 +38,60 @@ def _embed(crop9: jax.Array) -> jax.Array:
     return jnp.pad(crop9, BORDER)
 
 
+def _one_hot_cell(gx: jax.Array, gy: jax.Array) -> jax.Array:
+    """11x11 one-hot at integer cell (gx, gy) via iota equality.
+
+    NOT a scatter: at large vmapped batch (44,400 windows — the 4,440-case
+    testset) the batched one-hot scatter miscompiles on the TPU backend and
+    silently drops the update (goal channel all-zero; reproduced bit-exactly
+    across sessions at that shape, correct at <= 24,000 windows). Broadcasted
+    comparison is elementwise, shape-independent, and faster on the VPU.
+    """
+    ii = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, WINDOW), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, WINDOW), 1)
+    return ((ii == gx) & (jj == gy)).astype(jnp.float32)
+
+
+def _round_half_even_ratio(num: jax.Array, den: jax.Array) -> jax.Array:
+    """round-half-to-even of ``num / den`` in exact int32 arithmetic
+    (den > 0) — matches ``np.round`` of the float quotient for the small
+    magnitudes here, without depending on the backend's float-division
+    rounding (TPU lowers division to reciprocal-multiply in some fusions)."""
+    base = jnp.floor_divide(num, den)
+    rem = num - base * den                    # in [0, den)
+    twice = 2 * rem
+    up = (twice > den) | ((twice == den) & (base % 2 != 0))
+    return base + up.astype(base.dtype)
+
+
 def _projected_goal(dx: jax.Array, dy: jax.Array) -> jax.Array:
     """11x11 one-hot of the out-of-FOV goal projected on the window boundary.
 
     Mirrors statetransformer.py:47-66. Branch 1 (goal predominantly along y)
     is taken when the bearing angle lies in [pi/4, 3pi/4] or [-3pi/4, -pi/4],
-    equivalent to ``|dy| >= |dx| and dy != 0``.
+    equivalent to ``|dy| >= |dx| and dy != 0``. All-integer arithmetic: see
+    :func:`_one_hot_cell` / :func:`_round_half_even_ratio` for why no float
+    division or scatter is used.
     """
-    dx = dx.astype(jnp.float32)
-    dy = dy.astype(jnp.float32)
+    dx = dx.astype(jnp.int32)
+    dy = dy.astype(jnp.int32)
     branch_y = jnp.logical_and(jnp.abs(dy) >= jnp.abs(dx), dy != 0)
 
     # Guard divisors; the selected branch always has a nonzero divisor.
-    abs_dy = jnp.where(jnp.abs(dy) > 0, jnp.abs(dy), 1.0)
-    abs_dx = jnp.where(jnp.abs(dx) > 0, jnp.abs(dx), 1.0)
+    ady = jnp.maximum(jnp.abs(dy), 1)
+    adx = jnp.maximum(jnp.abs(dx), 1)
 
-    gx_y = (_CENTER + jnp.round(_DIST * dx / abs_dy)).astype(jnp.int32)
-    gy_y = (_DIST * (jnp.sign(dy) + 1)).astype(jnp.int32)
+    gx_y = _CENTER + _round_half_even_ratio(_DIST * dx, ady)
+    gy_y = jnp.where(dy > 0, 2 * _DIST, 0)
 
-    gx_x = (_DIST * (jnp.sign(dx) + 1)).astype(jnp.int32)
-    gy_x = (_CENTER + jnp.round(_DIST * dy / abs_dx)).astype(jnp.int32)
+    # dx == 0 here implies dy == 0 (otherwise branch_y), i.e. the in-FOV
+    # path wins the outer select — the dx > 0 test needs no zero case.
+    gx_x = jnp.where(dx > 0, 2 * _DIST, 0)
+    gy_x = _CENTER + _round_half_even_ratio(_DIST * dy, adx)
 
     gx = jnp.where(branch_y, gx_y, gx_x)
     gy = jnp.where(branch_y, gy_y, gy_x)
-
-    canvas = jnp.zeros((WINDOW, WINDOW), jnp.float32)
-    return canvas.at[gx, gy].set(1.0)
+    return _one_hot_cell(gx, gy)
 
 
 def _render_one(map_pad: jax.Array, occ_pad: jax.Array, pos: jax.Array,
@@ -85,7 +113,7 @@ def _render_one(map_pad: jax.Array, occ_pad: jax.Array, pos: jax.Array,
     # index is dx+4, plus the border offset of 1).
     gi = jnp.clip(dx + _CENTER, 0, WINDOW - 1)
     gj = jnp.clip(dy + _CENTER, 0, WINDOW - 1)
-    goal_in = jnp.zeros((WINDOW, WINDOW), jnp.float32).at[gi, gj].set(1.0)
+    goal_in = _one_hot_cell(gi, gj)
     goal_out = _projected_goal(dx, dy)
     channel_goal = jnp.where(in_fov, goal_in, goal_out)
 

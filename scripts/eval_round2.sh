@@ -7,6 +7,25 @@ set -e
 CKPT="$1"; shift
 COMMON=(--data_root data2 --save_root experiments_r2)
 
+# Canary: a 40-case in-distribution eval that must clear 0.5 rate_ReachGoal.
+# After the r2 150-epoch run, the first post-training eval (4440 cases)
+# scored 0.005 on the chip while the identical code+data scored 0.886 on
+# CPU and 0.86-0.88 at every case count in a fresh chip session — a
+# transient bad tunnel/chip session, not a code bug. Catch that state
+# before burning the full sweep; one retry after 60 s.
+canary() {
+  python -m gnn_pathplanning_tpu.cli.main configs/dcp_onlineExpert.json \
+      --mode test --test_checkpoint "$CKPT" --num_testset 40 \
+      "${COMMON[@]}" 2>/dev/null \
+    | tail -1 \
+    | python -c "import sys,ast; d=ast.literal_eval(sys.stdin.read()); sys.exit(0 if d['rate_ReachGoal'] > 0.5 else 1)"
+}
+if ! canary; then
+  echo "canary eval failed (rate_ReachGoal <= 0.5) — retrying in 60 s" >&2
+  sleep 60
+  canary || { echo "canary failed twice: chip session is bad" >&2; exit 3; }
+fi
+
 # In-distribution: full 20x20/10ag test split (4440 generated cases).
 python -m gnn_pathplanning_tpu.cli.main configs/dcp_onlineExpert.json \
     --mode test --test_checkpoint "$CKPT" --num_testset 4440 \
