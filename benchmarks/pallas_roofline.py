@@ -84,11 +84,31 @@ def timed(fn, *args, reps: int):
     return min(ts)
 
 
+def measure_chained(make_chain, x0, args):
+    """per_call via chained dependent applications inside one jit, with the
+    chain length grown until the chained time clearly dominates the
+    dispatch floor (at small N a fixed chain=100 leaves (t_C - t_1) in the
+    floor's run-to-run noise — the r2 first pass 'measured' 754%% of the
+    HBM roofline at N=1024 that way)."""
+    # chain=1 keeps exactly one Mosaic call in the floor program — a
+    # zero-trip fori_loop would let XLA DCE the kernel and the dispatch
+    # premium with it (then premium/chain pollutes per_call).
+    t1 = timed(make_chain(1), x0, reps=args.reps)     # dispatch floor
+    c = args.chain
+    while True:
+        tc = timed(make_chain(c), x0, reps=args.reps)
+        if tc > 1.5 * t1 or c >= 64 * args.chain:
+            break
+        c *= 4
+    return t1, tc, c, (tc - t1) / (c - 1)
+
+
 def measure_size(n: int, args) -> dict:
     import jax
     import jax.numpy as jnp
     from gnn_pathplanning_tpu.ops.pallas_swarm import (
-        BLOCK, block_pair_mask, geometric_spmm, pad_agents, spatial_sort)
+        BLOCK, block_pair_mask, compact_sender_index, geometric_spmm,
+        geometric_spmm_compact, pad_agents, spatial_sort)
 
     g = args.feats
     pos, r = make_swarm(n, args.degree)
@@ -109,12 +129,24 @@ def measure_size(n: int, args) -> dict:
             return jax.lax.fori_loop(0, c, body, x)
         return run
 
-    # chain=1 keeps exactly one Mosaic call in the floor program — a
-    # zero-trip fori_loop would let XLA DCE the kernel and the dispatch
-    # premium with it (then premium/chain pollutes per_call).
-    t1 = timed(chain(1), x0, reps=args.reps)          # dispatch floor
-    tc = timed(chain(args.chain), x0, reps=args.reps)
-    per_call = (tc - t1) / (args.chain - 1)
+    t1, tc, used_chain, per_call = measure_chained(chain, x0, args)
+
+    cap = int(np.asarray(mask).sum(axis=0).max())
+    idx, count, overflow = compact_sender_index(mask, cap)
+    assert not bool(overflow)
+    idx, count = jax.device_put(idx), jax.device_put(count)
+
+    def chain_compact(c):
+        @jax.jit
+        def run(x):
+            def body(_, z):
+                return geometric_spmm_compact(pos_pad, z, r, valid, idx,
+                                              count)
+            return jax.lax.fori_loop(0, c, body, x)
+        return run
+
+    _, _, compact_chain, compact_per_call = measure_chained(
+        chain_compact, x0, args)
 
     # HBM traffic model per fused SpMM application: every active block pair
     # reads its sender x block (BLOCK x G f32) + 6 coordinate planes
@@ -131,7 +163,7 @@ def measure_size(n: int, args) -> dict:
     row = {
         "agents": n, "padded": int(pos_pad.shape[0]), "blocks": nb,
         "active_pairs": active_pairs, "total_pairs": nb * nb,
-        "dispatch_floor_s": t1, "chain": args.chain,
+        "dispatch_floor_s": t1, "chain": used_chain,
         "per_call_s": per_call,
         "model_hbm_bytes": model_bytes,
         "achieved_hbm_gbps": achieved_gbps,
@@ -139,6 +171,17 @@ def measure_size(n: int, args) -> dict:
         "mxu_flops": flops,
         "achieved_tflops": achieved_tflops,
         "mxu_roofline_pct": 100 * achieved_tflops / V5E_BF16_TFLOPS,
+        # Compacted scalar-prefetch grid: sender x-blocks DMA'd only for
+        # active pairs. Same useful-bytes model => roofline pct measures
+        # how much of the bandwidth goes to *useful* traffic.
+        "compact_cap": cap,
+        "compact_chain": compact_chain,
+        "compact_per_call_s": compact_per_call,
+        "compact_hbm_roofline_pct":
+            100 * model_bytes / compact_per_call / 1e9 / V5E_HBM_GBPS,
+        "compact_mxu_roofline_pct":
+            100 * flops / compact_per_call / 1e12 / V5E_BF16_TFLOPS,
+        "compact_speedup": per_call / compact_per_call,
     }
 
     # Dense crossover: build the normalized GSO from positions and apply one
@@ -156,10 +199,10 @@ def measure_size(n: int, args) -> dict:
                 return jax.lax.fori_loop(0, c, body, x[:n])
             return run
 
-        td1 = timed(dense_chain(1), x0, reps=args.reps)
-        tdc = timed(dense_chain(args.chain), x0, reps=args.reps)
-        row["dense_per_call_s"] = (tdc - td1) / (args.chain - 1)
-        row["fused_speedup_vs_dense"] = row["dense_per_call_s"] / per_call
+        _, _, _, dense_per_call = measure_chained(dense_chain, x0, args)
+        row["dense_per_call_s"] = dense_per_call
+        row["fused_speedup_vs_dense"] = dense_per_call / per_call
+        row["compact_speedup_vs_dense"] = dense_per_call / compact_per_call
     return row
 
 

@@ -269,6 +269,12 @@ def compact_sender_index(mask: jax.Array, cap: int):
     order = jnp.argsort(1 - mask, axis=0, stable=True)     # active first
     idx = order[:cap, :].T.astype(jnp.int32)               # [NB_r, cap]
     count = jnp.minimum(raw, cap).astype(jnp.int32)
+    # Fill slots (k >= count) repeat the last active sender: Pallas skips
+    # the DMA when consecutive grid steps map to the same block, so fill
+    # steps cost neither bandwidth nor flops (compute is @pl.when-guarded).
+    last = jnp.take_along_axis(idx, jnp.maximum(count - 1, 0)[:, None],
+                               axis=1)
+    idx = jnp.where(jnp.arange(cap)[None, :] < count[:, None], idx, last)
     return idx, count, jnp.any(raw > cap)
 
 

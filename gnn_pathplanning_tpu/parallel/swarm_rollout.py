@@ -35,8 +35,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..env.simulator import DELTAS, STOP, collision_shield
 from ..ops.fov import render_fov
-from ..ops.pallas_swarm import (block_pair_mask, geometric_degrees,
-                                geometric_spmm, pad_agents, pad_to_block)
+from ..ops.pallas_swarm import (block_pair_mask, compact_sender_index,
+                                geometric_degrees, geometric_degrees_compact,
+                                geometric_spmm, geometric_spmm_compact,
+                                pad_agents, pad_to_block)
 from .halo import halo_filter_body
 from .swarm import graph_filter_body, gso_cols_body
 
@@ -83,7 +85,8 @@ def dcp_gfl(variables):
 def geometric_filter_body(x_loc: jax.Array, pos_loc: jax.Array,
                           pos_full: jax.Array, r: jax.Array, taps: jax.Array,
                           bias: jax.Array | None, axis: str,
-                          interpret: bool = False) -> jax.Array:
+                          interpret: bool = False,
+                          cap: int | None = None) -> jax.Array:
     """K-tap graph filter inner body on the *geometric* Pallas path
     (callable inside any shard_map over ``axis``): x_loc [N/d, G],
     pos_loc [N/d, 2], pos_full [N, 2] -> [N/d, F].
@@ -100,11 +103,51 @@ def geometric_filter_body(x_loc: jax.Array, pos_loc: jax.Array,
     recv_pos, _, recv_valid = pad_agents(pos_loc.astype(jnp.float32))
     mask = block_pair_mask(send_pos, r, send_valid, recv_pos, recv_valid)
 
+    if cap is not None:
+        # Compacted scalar-prefetch grid (ops/pallas_swarm.py): sender
+        # blocks are DMA'd only for active pairs. Exact lax.cond fallback
+        # to the exhaustive grid if any receiver exceeds cap; the branches
+        # contain no collectives, so per-chip divergence is fine.
+        idx, count, overflow = compact_sender_index(mask, cap)
+
+        def _deg(args):
+            sp, sv = args
+            return geometric_degrees_compact(sp, r, sv, idx, count,
+                                             interpret, recv_pos, recv_valid)
+
+        def _deg_dense(args):
+            sp, sv = args
+            return geometric_degrees(sp, r, sv, mask, interpret,
+                                     recv_pos, recv_valid)
+
+        deg_pad = jax.lax.cond(overflow, _deg_dense, _deg,
+                               (send_pos, send_valid))
+
+        def spmm(z_pad):
+            def go(args):
+                sp, z_, sv = args
+                return geometric_spmm_compact(sp, z_, r, sv, idx, count,
+                                              interpret, recv_pos, recv_valid)
+
+            def go_dense(args):
+                sp, z_, sv = args
+                return geometric_spmm(sp, z_, r, sv, mask, interpret,
+                                      recv_pos, recv_valid)
+
+            return jax.lax.cond(overflow, go_dense, go,
+                                (send_pos, z_pad, send_valid))
+    else:
+        deg_pad = geometric_degrees(send_pos, r, send_valid, mask,
+                                    interpret, recv_pos, recv_valid)
+
+        def spmm(z_pad):
+            return geometric_spmm(send_pos, z_pad, r, send_valid, mask,
+                                  interpret, recv_pos, recv_valid)
+
     # Degrees: each chip computes its receivers' degrees against the full
     # sender set, then the full inverse-sqrt vector is assembled by halo
     # exchange (degree of agent m is identical on every chip).
-    deg_loc = geometric_degrees(send_pos, r, send_valid, mask, interpret,
-                                recv_pos, recv_valid)[:n_loc]
+    deg_loc = deg_pad[:n_loc]
     deg_full = jax.lax.all_gather(deg_loc, axis, tiled=True)      # [N]
     inv_full = jnp.where(deg_full > 1e-9,
                          jax.lax.rsqrt(jnp.maximum(deg_full, 1e-9)), 0.0)
@@ -119,9 +162,7 @@ def geometric_filter_body(x_loc: jax.Array, pos_loc: jax.Array,
         z_full = jax.lax.all_gather(z, axis, tiled=True)          # halo [N, G]
         z_pad = jnp.zeros((n_pad, g), x_loc.dtype).at[:z_full.shape[0]].set(
             inv_full[:, None] * z_full)
-        z = inv_loc[:, None] * geometric_spmm(
-            send_pos, z_pad, r, send_valid, mask, interpret,
-            recv_pos, recv_valid)[:n_loc]
+        z = inv_loc[:, None] * spmm(z_pad)[:n_loc]
         zs.append(z)
     stacked = jnp.concatenate(zs, axis=-1)
     w2 = taps.reshape(k_taps * taps.shape[1], taps.shape[2])
@@ -260,7 +301,8 @@ def swarm_rollout(mesh: Mesh, variables, grid: jax.Array, starts: jax.Array,
                   goals: jax.Array, radius: float, steps: int,
                   key: jax.Array, axis: str = "agents",
                   geometric: bool = False,
-                  interpret: bool = False) -> SwarmRollout:
+                  interpret: bool = False,
+                  cap: int | None = None) -> SwarmRollout:
     """Run `steps` closed-loop steps with the agent axis sharded over
     ``axis``. N must be divisible by the mesh axis size.
 
@@ -287,7 +329,7 @@ def swarm_rollout(mesh: Mesh, variables, grid: jax.Array, starts: jax.Array,
             if geometric:
                 y_loc = jax.nn.relu(geometric_filter_body(
                     feat_loc, pos_loc, pos_full, r, taps, gfl_bias, axis,
-                    interpret=interpret))
+                    interpret=interpret, cap=cap))
             else:
                 s_cols = gso_cols_body(pos_loc.astype(jnp.float32), r, axis)
                 y_loc = jax.nn.relu(

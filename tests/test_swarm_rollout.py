@@ -171,3 +171,30 @@ def test_swarm_rollout_halo_matches_dense_path(mesh, model_vars, rng):
                                   np.asarray(dense.paths))
     np.testing.assert_array_equal(np.asarray(halo.reached),
                                   np.asarray(dense.reached))
+
+
+def test_swarm_rollout_geometric_compact_matches_dense_path(mesh, model_vars,
+                                                            rng):
+    """cap=... routes the sharded geometric path through the compacted
+    scalar-prefetch kernels; trajectories must stay identical. cap=1 forces
+    the in-jit overflow fallback (16 agents pad to one sender block, so the
+    true per-receiver sender count is 1 — use a crowded N to overflow)."""
+    model, variables = model_vars
+    n, w = 16, 24
+    grid = (rng.rand(w, w) < 0.08).astype(np.float32)
+    grid[4:12, 4:12] = 0.0
+    block = np.array([(x, y) for x in range(4, 12) for y in range(4, 12)])
+    idx = rng.choice(len(block), n, replace=False)
+    starts = block[idx].astype(np.int32)
+    free = np.argwhere(grid == 0)
+    gidx = rng.choice(len(free), n, replace=False)
+    goals = free[gidx].astype(np.int32)
+    steps, radius = 4, 5.5
+
+    dense = swarm_rollout(mesh, variables, grid, starts, goals, radius,
+                          steps, jax.random.PRNGKey(3))
+    compact = swarm_rollout(mesh, variables, grid, starts, goals, radius,
+                            steps, jax.random.PRNGKey(3), geometric=True,
+                            interpret=True, cap=1)
+    np.testing.assert_array_equal(np.asarray(compact.paths),
+                                  np.asarray(dense.paths))

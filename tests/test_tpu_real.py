@@ -70,9 +70,27 @@ rect = jax.jit(lambda: geometric_spmm(pos_p, xg_p, 6.0, valid, rect_mask,
                                       recv_pos=recv_pos,
                                       recv_valid=recv_valid))()
 
+# Compacted scalar-prefetch grid on a multi-block swarm (cap from the true
+# max per-receiver sender count, so the compact kernels — not the fallback —
+# are what compiles and runs on the chip).
+from gnn_pathplanning_tpu.ops.pallas_swarm import spatial_sort
+
+idx2 = rng.choice(64 * 64, size=512, replace=False)
+pos2 = np.stack([idx2 // 64, idx2 % 64], -1).astype(np.float32)
+pos2 = pos2[np.asarray(spatial_sort(jnp.asarray(pos2), cell=6.0))]
+x2 = rng.randn(512, g).astype(np.float32)
+pos2_p, x2_p, valid2 = pad_agents(jnp.asarray(pos2), jnp.asarray(x2))
+mask2 = block_pair_mask(pos2_p, 6.0, valid2)
+cap = int(np.asarray(mask2).sum(axis=0).max())
+compact = jax.jit(lambda p, xx, v: graph_filter_geometric(
+    p, xx, 6.0, jnp.asarray(w), jnp.asarray(bias), v, cap=cap))(
+        pos2_p, x2_p, valid2)
+
 np.savez(out_path, dense=np.asarray(dense), geo=np.asarray(geo),
          valid=np.asarray(valid), gso=np.asarray(gso),
-         rect=np.asarray(rect), recv_valid=np.asarray(recv_valid))
+         rect=np.asarray(rect), recv_valid=np.asarray(recv_valid),
+         pos2=pos2, x2=x2, compact=np.asarray(compact),
+         valid2=np.asarray(valid2))
 print("tpu child ok")
 """
 
@@ -146,4 +164,27 @@ def test_rectangular_spmm_matches_cpu(tpu_results):
 
     recv_valid = tpu_results["recv_valid"].astype(bool)
     got = tpu_results["rect"][recv_valid]
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_compact_geometric_filter_matches_cpu(tpu_results):
+    """Real-TPU compacted scalar-prefetch kernels (cap=true max) vs the CPU
+    dense oracle on a 512-agent multi-block swarm."""
+    import jax.numpy as jnp
+    from gnn_pathplanning_tpu.ops.graph_filter import graph_filter
+    from gnn_pathplanning_tpu.ops.gso import (adjacency_from_positions,
+                                              normalize_adjacency)
+    rng = np.random.RandomState(0)
+    b, n, g, f, k = 2, 64, 8, 8, 3
+    _ = rng.randn(b, n, g), rng.randn(b, n, n)
+    w = rng.randn(k, g, f).astype(np.float32) * 0.3
+    bias = rng.randn(f).astype(np.float32) * 0.3
+
+    pos2 = tpu_results["pos2"]
+    x2 = tpu_results["x2"]
+    gso = normalize_adjacency(adjacency_from_positions(jnp.asarray(pos2),
+                                                       6.0))
+    want = np.asarray(graph_filter(jnp.asarray(x2)[None], gso[None],
+                                   jnp.asarray(w), jnp.asarray(bias)))[0]
+    got = tpu_results["compact"][tpu_results["valid2"].astype(bool)]
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
