@@ -394,6 +394,57 @@ def geometric_spmm_compact(pos: jax.Array, x: jax.Array, radius,
     return out
 
 
+def make_geometric_ops(send_pos: jax.Array, send_valid: jax.Array, radius,
+                       recv_pos: jax.Array | None = None,
+                       recv_valid: jax.Array | None = None,
+                       cap: int | None = None, interpret: bool = False):
+    """Build ``(degrees_fn, spmm_fn)`` over the radius graph between a
+    padded sender set and an (optionally rectangular) padded receiver set.
+
+    With ``cap`` the ops route through the compacted scalar-prefetch grid
+    (sender blocks DMA'd only for active pairs); a ``lax.cond`` falls back
+    to the exhaustive grid if any receiver block exceeds ``cap`` active
+    senders, so results are exact either way. Shared by the single-chip
+    filter and the sharded rollout/halo filter bodies.
+    """
+    mask = block_pair_mask(send_pos, radius, send_valid,
+                           recv_pos, recv_valid)
+    if cap is None:
+        def degrees_fn():
+            return geometric_degrees(send_pos, radius, send_valid, mask,
+                                     interpret, recv_pos, recv_valid)
+
+        def spmm_fn(z):
+            return geometric_spmm(send_pos, z, radius, send_valid, mask,
+                                  interpret, recv_pos, recv_valid)
+
+        return degrees_fn, spmm_fn
+
+    idx, count, overflow = compact_sender_index(mask, cap)
+
+    def degrees_fn():
+        return jax.lax.cond(
+            overflow,
+            lambda a: geometric_degrees(a[0], radius, a[1], mask,
+                                        interpret, recv_pos, recv_valid),
+            lambda a: geometric_degrees_compact(a[0], radius, a[1], idx,
+                                                count, interpret,
+                                                recv_pos, recv_valid),
+            (send_pos, send_valid))
+
+    def spmm_fn(z):
+        return jax.lax.cond(
+            overflow,
+            lambda a: geometric_spmm(a[0], a[1], radius, a[2], mask,
+                                     interpret, recv_pos, recv_valid),
+            lambda a: geometric_spmm_compact(a[0], a[1], radius, a[2], idx,
+                                             count, interpret,
+                                             recv_pos, recv_valid),
+            (send_pos, z, send_valid))
+
+    return degrees_fn, spmm_fn
+
+
 def graph_filter_geometric(pos: jax.Array, x: jax.Array, radius,
                            weights: jax.Array, bias: jax.Array | None = None,
                            valid: jax.Array | None = None,
@@ -417,40 +468,9 @@ def graph_filter_geometric(pos: jax.Array, x: jax.Array, radius,
     assert n % BLOCK == 0, "pad inputs to a BLOCK multiple (pad_agents)"
     if valid is None:
         valid = jnp.ones((n,), jnp.float32)
-    mask = block_pair_mask(pos, radius, valid)
-
-    if cap is not None:
-        idx, count, overflow = compact_sender_index(mask, cap)
-
-        def deg_fn(args):
-            pos_, valid_ = args
-            return geometric_degrees_compact(pos_, radius, valid_, idx,
-                                             count, interpret)
-
-        def deg_dense(args):
-            pos_, valid_ = args
-            return geometric_degrees(pos_, radius, valid_, mask, interpret)
-
-        deg = jax.lax.cond(overflow, deg_dense, deg_fn, (pos, valid))
-
-        def spmm(z):
-            def go(args):
-                pos_, z_, valid_ = args
-                return geometric_spmm_compact(pos_, z_, radius, valid_,
-                                              idx, count, interpret)
-
-            def go_dense(args):
-                pos_, z_, valid_ = args
-                return geometric_spmm(pos_, z_, radius, valid_, mask,
-                                      interpret)
-
-            return jax.lax.cond(overflow, go_dense, go, (pos, z, valid))
-    else:
-        deg = geometric_degrees(pos, radius, valid, mask, interpret)
-
-        def spmm(z):
-            return geometric_spmm(pos, z, radius, valid, mask, interpret)
-
+    degrees_fn, spmm = make_geometric_ops(pos, valid, radius, cap=cap,
+                                          interpret=interpret)
+    deg = degrees_fn()
     inv_sqrt = jnp.where(deg > 1e-9, jax.lax.rsqrt(jnp.maximum(deg, 1e-9)),
                          0.0)
 

@@ -71,7 +71,9 @@ def _from_right(v: jax.Array, axis: str, num_shards: int) -> jax.Array:
 
 def halo_filter_body(x_loc: jax.Array, pos_loc: jax.Array, r: jax.Array,
                      taps: jax.Array, bias: jax.Array | None, axis: str,
-                     num_shards: int) -> jax.Array:
+                     num_shards: int, geometric: bool = False,
+                     cap: int | None = None,
+                     interpret: bool = False) -> jax.Array:
     """K-tap graph filter inner body with neighbor-only halo exchange
     (callable inside any shard_map over ``axis``): x_loc [N/d, G],
     pos_loc [N/d, 2] -> [N/d, F].
@@ -81,6 +83,14 @@ def halo_filter_body(x_loc: jax.Array, pos_loc: jax.Array, r: jax.Array,
     contraction is ``z[n] = sum_m S[m, n] x[m]`` over the symmetric
     degree-normalized adjacency (``D^-1/2 W D^-1/2``, zero-degree guard as
     in multirobotsim_dcenlocal.py:342-348).
+
+    ``geometric=True`` replaces the dense [3*N/d, N/d] per-chip strip
+    matrix (the last O((N/d)^2) term in the halo path) with the fused
+    Pallas position->SpMM kernels over the strip: per-chip compute and
+    memory become O(active block pairs) — combined with the constant
+    2*(N/d)*G halo traffic this is the full pod-scale weak-scaling form.
+    ``cap`` additionally routes through the compacted scalar-prefetch grid
+    (ops/pallas_swarm.py).
     """
     n_loc, g = x_loc.shape
     shard = jax.lax.axis_index(axis)
@@ -96,6 +106,50 @@ def halo_filter_body(x_loc: jax.Array, pos_loc: jax.Array, r: jax.Array,
         jnp.full((n_loc,), left_ok),
         jnp.ones((n_loc,), jnp.float32),
         jnp.full((n_loc,), right_ok)])                       # [3n]
+
+    if geometric:
+        from ..ops.pallas_swarm import make_geometric_ops, pad_agents
+
+        # Invalid halo copies (chip 0's left / last chip's right arrive as
+        # ppermute zeros) are masked through send_valid; padding lanes sit
+        # at the pad_agents far-away corner.
+        send_pad, _, sv_pad = pad_agents(pos_send)
+        sv_pad = sv_pad.at[:3 * n_loc].mul(send_valid)
+        recv_pad, _, rv_pad = pad_agents(pos_loc)
+        degrees_fn, spmm = make_geometric_ops(send_pad, sv_pad, r,
+                                              recv_pad, rv_pad, cap,
+                                              interpret)
+        deg_loc = degrees_fn()[:n_loc]
+        inv_loc = jnp.where(deg_loc > 1e-9,
+                            jax.lax.rsqrt(jnp.maximum(deg_loc, 1e-9)), 0.0)
+        inv_send = jnp.concatenate([
+            _from_left(inv_loc, axis, num_shards),
+            inv_loc,
+            _from_right(inv_loc, axis, num_shards)])         # [3n]
+
+        n_pad = send_pad.shape[0]
+        k_taps = taps.shape[0]
+        zs = [x_loc]
+        z = x_loc
+        for _ in range(1, k_taps):
+            z_send = jnp.concatenate([
+                _from_left(z, axis, num_shards),
+                z,
+                _from_right(z, axis, num_shards)], axis=0)   # halo [3n, g]
+            z_pad = jnp.zeros((n_pad, g), x_loc.dtype).at[:3 * n_loc].set(
+                inv_send[:, None] * z_send)
+            z = inv_loc[:, None] * spmm(z_pad)[:n_loc]
+            zs.append(z)
+        stacked = jnp.concatenate(zs, axis=-1)
+        # HIGHEST: match graph_filter_geometric (default TPU matmul
+        # truncates f32 inputs to bf16).
+        y = jnp.dot(stacked,
+                    taps.reshape(k_taps * taps.shape[1], taps.shape[2]),
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+        if bias is not None:
+            y = y + bias
+        return y
 
     diff = pos_send[:, None, :] - pos_loc[None, :, :]        # [3n, n, 2]
     dist = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
@@ -137,7 +191,10 @@ def halo_filter_body(x_loc: jax.Array, pos_loc: jax.Array, r: jax.Array,
 def halo_graph_filter_sharded(mesh: Mesh, x: jax.Array, pos: jax.Array,
                               radius, weights: jax.Array,
                               bias: jax.Array | None = None,
-                              axis: str = "agents") -> jax.Array:
+                              axis: str = "agents",
+                              geometric: bool = False,
+                              cap: int | None = None,
+                              interpret: bool = False) -> jax.Array:
     """Strip-partitioned K-tap graph filter over a sharded agent axis.
 
     Args:
@@ -160,9 +217,14 @@ def halo_graph_filter_sharded(mesh: Mesh, x: jax.Array, pos: jax.Array,
         bias = jnp.zeros((weights.shape[2],), x.dtype)
 
     def body(x_loc, pos_loc, w, b):
-        return halo_filter_body(x_loc, pos_loc, r, w, b, axis, num_shards)
+        return halo_filter_body(x_loc, pos_loc, r, w, b, axis, num_shards,
+                                geometric=geometric, cap=cap,
+                                interpret=interpret)
 
+    # the pallas interpreter/lowering cannot yet mix varying operands with
+    # invariant grid indices (same workaround as swarm_rollout).
     return shard_map(
         body, mesh=mesh,
         in_specs=(P(axis, None), P(axis, None), P(), P()),
-        out_specs=P(axis, None))(x, pos, weights, bias)
+        out_specs=P(axis, None), check_vma=not geometric)(
+            x, pos, weights, bias)

@@ -35,10 +35,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..env.simulator import DELTAS, STOP, collision_shield
 from ..ops.fov import render_fov
-from ..ops.pallas_swarm import (block_pair_mask, compact_sender_index,
-                                geometric_degrees, geometric_degrees_compact,
-                                geometric_spmm, geometric_spmm_compact,
-                                pad_agents, pad_to_block)
+from ..ops.pallas_swarm import make_geometric_ops, pad_agents, pad_to_block
 from .halo import halo_filter_body
 from .swarm import graph_filter_body, gso_cols_body
 
@@ -101,53 +98,17 @@ def geometric_filter_body(x_loc: jax.Array, pos_loc: jax.Array,
     n_loc, g = x_loc.shape
     send_pos, _, send_valid = pad_agents(pos_full.astype(jnp.float32))
     recv_pos, _, recv_valid = pad_agents(pos_loc.astype(jnp.float32))
-    mask = block_pair_mask(send_pos, r, send_valid, recv_pos, recv_valid)
-
-    if cap is not None:
-        # Compacted scalar-prefetch grid (ops/pallas_swarm.py): sender
-        # blocks are DMA'd only for active pairs. Exact lax.cond fallback
-        # to the exhaustive grid if any receiver exceeds cap; the branches
-        # contain no collectives, so per-chip divergence is fine.
-        idx, count, overflow = compact_sender_index(mask, cap)
-
-        def _deg(args):
-            sp, sv = args
-            return geometric_degrees_compact(sp, r, sv, idx, count,
-                                             interpret, recv_pos, recv_valid)
-
-        def _deg_dense(args):
-            sp, sv = args
-            return geometric_degrees(sp, r, sv, mask, interpret,
-                                     recv_pos, recv_valid)
-
-        deg_pad = jax.lax.cond(overflow, _deg_dense, _deg,
-                               (send_pos, send_valid))
-
-        def spmm(z_pad):
-            def go(args):
-                sp, z_, sv = args
-                return geometric_spmm_compact(sp, z_, r, sv, idx, count,
-                                              interpret, recv_pos, recv_valid)
-
-            def go_dense(args):
-                sp, z_, sv = args
-                return geometric_spmm(sp, z_, r, sv, mask, interpret,
-                                      recv_pos, recv_valid)
-
-            return jax.lax.cond(overflow, go_dense, go,
-                                (send_pos, z_pad, send_valid))
-    else:
-        deg_pad = geometric_degrees(send_pos, r, send_valid, mask,
-                                    interpret, recv_pos, recv_valid)
-
-        def spmm(z_pad):
-            return geometric_spmm(send_pos, z_pad, r, send_valid, mask,
-                                  interpret, recv_pos, recv_valid)
+    # cap routes through the compacted scalar-prefetch grid (sender blocks
+    # DMA'd only for active pairs) with an exact in-jit overflow fallback;
+    # neither branch holds collectives, so per-chip divergence is fine.
+    degrees_fn, spmm = make_geometric_ops(send_pos, send_valid, r,
+                                          recv_pos, recv_valid, cap,
+                                          interpret)
 
     # Degrees: each chip computes its receivers' degrees against the full
     # sender set, then the full inverse-sqrt vector is assembled by halo
     # exchange (degree of agent m is identical on every chip).
-    deg_loc = deg_pad[:n_loc]
+    deg_loc = degrees_fn()[:n_loc]
     deg_full = jax.lax.all_gather(deg_loc, axis, tiled=True)      # [N]
     inv_full = jnp.where(deg_full > 1e-9,
                          jax.lax.rsqrt(jnp.maximum(deg_full, 1e-9)), 0.0)
@@ -191,7 +152,10 @@ class HaloRollout(NamedTuple):
 def swarm_rollout_halo(mesh: Mesh, variables, grid: jax.Array,
                        starts: jax.Array, goals: jax.Array, radius: float,
                        steps: int, key: jax.Array,
-                       axis: str = "agents") -> HaloRollout:
+                       axis: str = "agents",
+                       geometric: bool = False,
+                       cap: int | None = None,
+                       interpret: bool = False) -> HaloRollout:
     """Closed-loop rollout with *constant per-chip collective volume*.
 
     Every step re-partitions agents into x-sorted strips (ownership is
@@ -247,7 +211,8 @@ def swarm_rollout_halo(mesh: Mesh, variables, grid: jax.Array,
             feat_loc = dcp_encode(variables, obs_loc)
             y_loc = jax.nn.relu(halo_filter_body(
                 feat_loc, pos_loc.astype(jnp.float32), r, taps, gfl_bias,
-                axis, d))
+                axis, d, geometric=geometric, cap=cap,
+                interpret=interpret))
             logits_loc = dcp_act(variables, y_loc)
 
             actions = jnp.argmax(logits_loc, axis=-1)
@@ -289,7 +254,7 @@ def swarm_rollout_halo(mesh: Mesh, variables, grid: jax.Array,
         in_specs=(P(), P()),
         out_specs=(P(axis, None), P(axis), P(None, axis, None),
                    P(axis, None)),
-        check_vma=True)(
+        check_vma=not geometric)(
             jnp.asarray(starts, jnp.int32), jnp.asarray(goals, jnp.int32))
     paths = jnp.concatenate([jnp.asarray(starts, jnp.int32)[None],
                              path_tail], axis=0)

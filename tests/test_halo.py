@@ -120,3 +120,27 @@ def test_halo_filter_indivisible_agents_error(mesh_agents):
     w = jnp.zeros((2, 4, 4))
     with pytest.raises(ValueError, match="divide evenly"):
         halo_graph_filter_sharded(mesh_agents, x, pos, 2.0, w, None)
+
+
+def test_halo_filter_geometric_matches_dense(mesh_agents):
+    """geometric=True replaces the dense [3n, n] strip matrix with the
+    fused Pallas kernels (interpret mode); must stay exact under the strip
+    invariant, with and without the compacted grid (cap)."""
+    rng = np.random.RandomState(3)
+    n, g, f, k, r = 64, 16, 8, 3, 3.0
+    pos = np.stack([rng.uniform(0, 80.0, n),
+                    rng.uniform(0, 6.0, n)], axis=1).astype(np.float32)
+    pos = pos[strip_partition(pos)]
+    assert strip_halo_exact(pos, 8, r)
+    x = rng.randn(n, g).astype(np.float32)
+    w = rng.randn(k, g, f).astype(np.float32) * 0.1
+    b = rng.randn(f).astype(np.float32)
+    want = dense_oracle(x, pos, r, w, b)
+
+    for cap in (None, 1):  # cap=1: exercises compact kernels + fallback
+        got = halo_graph_filter_sharded(mesh_agents, jnp.asarray(x),
+                                        jnp.asarray(pos), r, jnp.asarray(w),
+                                        jnp.asarray(b), geometric=True,
+                                        cap=cap, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=2e-4, atol=2e-4)

@@ -198,3 +198,29 @@ def test_swarm_rollout_geometric_compact_matches_dense_path(mesh, model_vars,
                             interpret=True, cap=1)
     np.testing.assert_array_equal(np.asarray(compact.paths),
                                   np.asarray(dense.paths))
+
+
+def test_swarm_rollout_halo_geometric_matches_dense_path(mesh, model_vars,
+                                                         rng):
+    """The fully weak-scaling form — neighbor-only halo exchange + fused
+    Pallas strip kernels (geometric=True, compact grid via cap) — must
+    still reproduce the dense path's trajectories exactly."""
+    from gnn_pathplanning_tpu.parallel.swarm_rollout import swarm_rollout_halo
+    model, variables = model_vars
+    n, W, H = 32, 96, 12
+    grid = np.zeros((W, H), np.float32)
+    xs = 3 * np.arange(n)
+    ys = rng.randint(0, H, n)
+    starts = np.stack([xs, ys], -1).astype(np.int32)
+    goals = starts + rng.randint(-2, 3, (n, 2)).astype(np.int32)
+    goals = np.clip(goals, 0, [W - 1, H - 1]).astype(np.int32)
+    steps, radius = 4, 2.5
+
+    dense = swarm_rollout(mesh, variables, grid, starts, goals, radius,
+                          steps, jax.random.PRNGKey(5))
+    halo = swarm_rollout_halo(mesh, variables, grid, starts, goals, radius,
+                              steps, jax.random.PRNGKey(5), geometric=True,
+                              cap=1, interpret=True)
+    assert bool(np.asarray(halo.exact).all())
+    np.testing.assert_array_equal(np.asarray(halo.paths),
+                                  np.asarray(dense.paths))
