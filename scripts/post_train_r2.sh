@@ -21,8 +21,17 @@ echo "using checkpoint: $CKPT"
 echo "=== EVAL SWEEP ==="
 timeout 7200 bash scripts/eval_round2.sh "$CKPT" 2>&1 | grep -v WARNING
 
+echo "=== REAL-TPU KERNEL TESTS ==="
+timeout 1800 python -m pytest tests/test_tpu_real.py -q -m tpu 2>&1 \
+  | grep -v WARNING | tail -2
+KERNELS_OK=${PIPESTATUS[0]}
+
 echo "=== PALLAS ROOFLINE ==="
-timeout 3600 python benchmarks/pallas_roofline.py 2>&1 | grep -v WARNING
+if [ "$KERNELS_OK" -eq 0 ]; then
+  timeout 3600 python benchmarks/pallas_roofline.py 2>&1 | grep -v WARNING
+else
+  echo "skipped: kernel tests failed"
+fi
 
 echo "=== BENCH ==="
 timeout 3600 python bench.py 2>&1 | grep -v WARNING | tail -1
