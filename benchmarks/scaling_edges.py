@@ -50,6 +50,9 @@ def parse_args():
     p.add_argument("--geometric", action="store_true",
                    help="route through the fused Pallas kernels "
                         "(real TPU only)")
+    p.add_argument("--cap", type=int, default=None,
+                   help="route geometric kernels through the compacted "
+                        "scalar-prefetch grid with this sender cap")
     p.add_argument("--halo", action="store_true",
                    help="strip-partitioned neighbor-only halo exchange "
                         "(constant per-chip collective volume; requires "
@@ -103,22 +106,23 @@ def measure(n_devices: int, args) -> dict:
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    if args.geometric:
+    if args.halo:
+        from gnn_pathplanning_tpu.parallel.halo import halo_filter_body
+
+        def body(pos_loc, x_loc):
+            return halo_filter_body(x_loc, pos_loc, rr, w, None, "agents",
+                                    n_devices, geometric=args.geometric,
+                                    cap=args.cap)
+        check = not args.geometric
+    elif args.geometric:
         from gnn_pathplanning_tpu.parallel.swarm_rollout import (
             geometric_filter_body)
 
         def body(pos_loc, x_loc):
             pos_full = jax.lax.all_gather(pos_loc, "agents", tiled=True)
             return geometric_filter_body(x_loc, pos_loc, pos_full, rr, w,
-                                         None, "agents")
+                                         None, "agents", cap=args.cap)
         check = False
-    elif args.halo:
-        from gnn_pathplanning_tpu.parallel.halo import halo_filter_body
-
-        def body(pos_loc, x_loc):
-            return halo_filter_body(x_loc, pos_loc, rr, w, None, "agents",
-                                    n_devices)
-        check = True
     else:
         def body(pos_loc, x_loc):
             s_cols = gso_cols_body(pos_loc, rr, "agents")

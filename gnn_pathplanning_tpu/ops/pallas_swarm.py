@@ -104,17 +104,23 @@ def _pair_weights(xi, yi, vi, xj, yj, vj, r2):
     return w * vi[:, None] * vj[None, :]
 
 
-# Agent-coordinate "planes" (x, y, valid) are stored as [NB * 8, BLOCK] with
-# each block's 128 lane values replicated across 8 sublane rows. This makes
-# every plane block a legal (8, 128) tile, so sender/receiver blocks arrive
-# via ordinary BlockSpec index maps — dynamic row reads from an unblocked
-# VMEM ref measure ~50 us EACH on v5e (they lower to DMAs), which dominated
-# the first version of these kernels (6 reads/step).
+# Agent-coordinate "planes" (x, y, valid) are PACKED into one
+# [NB * 3 * 8, BLOCK] array per side: per block, rows 0-7 replicate x,
+# rows 8-15 y, rows 16-23 valid (each block's 128 lane values replicated
+# across 8 sublane rows so every tile is a legal (8, 128) layout). One
+# BlockSpec -> ONE DMA per grid step per side instead of three — at swarm
+# scale the kernels are DMA-issue-bound (7 DMAs/step measured ~390 ns/step
+# vs ~80 ns of useful 64 KB x-block transfer), and dynamic row reads from
+# an unblocked VMEM ref are worse still (~50 us each on v5e).
 _SUB = 8
 
 
-def _degree_kernel(mask_ref, r2_ref, pxi_ref, pyi_ref, vvi_ref,
-                   pxj_ref, pyj_ref, vvj_ref, out_ref):
+def _unpack(p_ref):
+    """(x, y, valid) lane vectors from a packed plane block."""
+    return p_ref[0], p_ref[_SUB], p_ref[2 * _SUB]
+
+
+def _degree_kernel(mask_ref, r2_ref, pi_ref, pj_ref, out_ref):
     j, i = pl.program_id(0), pl.program_id(1)
 
     @pl.when(i == 0)
@@ -123,13 +129,11 @@ def _degree_kernel(mask_ref, r2_ref, pxi_ref, pyi_ref, vvi_ref,
 
     @pl.when(mask_ref[i, j] == 1)
     def _():
-        w = _pair_weights(pxi_ref[0], pyi_ref[0], vvi_ref[0],
-                          pxj_ref[0], pyj_ref[0], vvj_ref[0], r2_ref[0])
+        w = _pair_weights(*_unpack(pi_ref), *_unpack(pj_ref), r2_ref[0])
         out_ref[0, :] += jnp.sum(w, axis=0)
 
 
-def _spmm_kernel(mask_ref, r2_ref, pxi_ref, pyi_ref, vvi_ref,
-                 pxj_ref, pyj_ref, vvj_ref, x_ref, out_ref):
+def _spmm_kernel(mask_ref, r2_ref, pi_ref, pj_ref, x_ref, out_ref):
     j, i = pl.program_id(0), pl.program_id(1)
 
     @pl.when(i == 0)
@@ -138,8 +142,7 @@ def _spmm_kernel(mask_ref, r2_ref, pxi_ref, pyi_ref, vvi_ref,
 
     @pl.when(mask_ref[i, j] == 1)
     def _():
-        w = _pair_weights(pxi_ref[0], pyi_ref[0], vvi_ref[0],
-                          pxj_ref[0], pyj_ref[0], vvj_ref[0], r2_ref[0])
+        w = _pair_weights(*_unpack(pi_ref), *_unpack(pj_ref), r2_ref[0])
         out_ref[:] += jnp.dot(w.T, x_ref[:],
                               preferred_element_type=jnp.float32)
 
@@ -156,20 +159,24 @@ def _join_vma(*arrays) -> frozenset:
 
 
 def _planes(pos, valid):
-    """[NB * _SUB, BLOCK] sublane-replicated coordinate planes."""
+    """[NB * 3 * _SUB, BLOCK] packed sublane-replicated coordinate planes
+    (per block: rows 0-7 x, 8-15 y, 16-23 valid)."""
     nb = pos.shape[0] // BLOCK
+
     def rep(v):
-        return jnp.broadcast_to(v.reshape(nb, 1, BLOCK),
-                                (nb, _SUB, BLOCK)).reshape(nb * _SUB, BLOCK)
-    return rep(pos[:, 0]), rep(pos[:, 1]), rep(valid)
+        return jnp.broadcast_to(v.reshape(nb, 1, BLOCK), (nb, _SUB, BLOCK))
+
+    packed = jnp.concatenate([rep(pos[:, 0]), rep(pos[:, 1]), rep(valid)],
+                             axis=1)
+    return packed.reshape(nb * 3 * _SUB, BLOCK)
 
 
 def _plane_specs():
-    send = lambda: pl.BlockSpec((_SUB, BLOCK), lambda j, i: (i, 0),
-                                memory_space=pltpu.VMEM)
-    recv = lambda: pl.BlockSpec((_SUB, BLOCK), lambda j, i: (j, 0),
-                                memory_space=pltpu.VMEM)
-    return [send(), send(), send()], [recv(), recv(), recv()]
+    send = pl.BlockSpec((3 * _SUB, BLOCK), lambda j, i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    recv = pl.BlockSpec((3 * _SUB, BLOCK), lambda j, i: (j, 0),
+                        memory_space=pltpu.VMEM)
+    return send, recv
 
 
 def geometric_degrees(pos: jax.Array, radius, valid: jax.Array,
@@ -183,12 +190,12 @@ def geometric_degrees(pos: jax.Array, radius, valid: jax.Array,
     rectangular form used by the agent-sharded rollout (each chip's
     receivers are its local agents, senders are the full swarm)."""
     nb_s = pos.shape[0] // BLOCK
-    px, py, vv = _planes(pos, valid)
+    ps = _planes(pos, valid)
     if recv_pos is None:
-        qx, qy, qv, nb_r = px, py, vv, nb_s
+        pr, nb_r = ps, nb_s
     else:
         nb_r = recv_pos.shape[0] // BLOCK
-        qx, qy, qv = _planes(recv_pos, recv_valid)
+        pr = _planes(recv_pos, recv_valid)
     r2 = (jnp.asarray(radius, jnp.float32) ** 2).reshape(1)
     send, recv = _plane_specs()
     out = pl.pallas_call(
@@ -196,13 +203,13 @@ def geometric_degrees(pos: jax.Array, radius, valid: jax.Array,
         grid=(nb_r, nb_s),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  *send, *recv],
+                  send, recv],
         out_specs=pl.BlockSpec((_SUB, BLOCK), lambda j, i: (j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb_r * _SUB, BLOCK), jnp.float32,
-                                       vma=_join_vma(mask, px, qx)),
+                                       vma=_join_vma(mask, ps, pr)),
         interpret=interpret,
-    )(mask, r2, px, py, vv, qx, qy, qv)
+    )(mask, r2, ps, pr)
     return out.reshape(nb_r, _SUB, BLOCK)[:, 0].reshape(-1)
 
 
@@ -216,12 +223,12 @@ def geometric_spmm(pos: jax.Array, x: jax.Array, radius, valid: jax.Array,
     of the senders."""
     n, g = x.shape
     nb_s = n // BLOCK
-    px, py, vv = _planes(pos, valid)
+    ps = _planes(pos, valid)
     if recv_pos is None:
-        qx, qy, qv, n_r = px, py, vv, n
+        pr, n_r = ps, n
     else:
         n_r = recv_pos.shape[0]
-        qx, qy, qv = _planes(recv_pos, recv_valid)
+        pr = _planes(recv_pos, recv_valid)
     nb_r = n_r // BLOCK
     r2 = (jnp.asarray(radius, jnp.float32) ** 2).reshape(1)
     send, recv = _plane_specs()
@@ -230,15 +237,15 @@ def geometric_spmm(pos: jax.Array, x: jax.Array, radius, valid: jax.Array,
         grid=(nb_r, nb_s),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  *send, *recv,
+                  send, recv,
                   pl.BlockSpec((BLOCK, g), lambda j, i: (i, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((BLOCK, g), lambda j, i: (j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_r, g), jnp.float32,
-                                       vma=_join_vma(mask, px, qx, x)),
+                                       vma=_join_vma(mask, ps, pr, x)),
         interpret=interpret,
-    )(mask, r2, px, py, vv, qx, qy, qv, x)
+    )(mask, r2, ps, pr, x)
     return out
 
 
@@ -278,8 +285,8 @@ def compact_sender_index(mask: jax.Array, cap: int):
     return idx, count, jnp.any(raw > cap)
 
 
-def _degree_kernel_compact(idx_ref, cnt_ref, r2_ref, pxi_ref, pyi_ref,
-                           vvi_ref, pxj_ref, pyj_ref, vvj_ref, out_ref):
+def _degree_kernel_compact(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref,
+                           out_ref):
     j, k = pl.program_id(0), pl.program_id(1)
 
     @pl.when(k == 0)
@@ -288,13 +295,12 @@ def _degree_kernel_compact(idx_ref, cnt_ref, r2_ref, pxi_ref, pyi_ref,
 
     @pl.when(k < cnt_ref[j])
     def _():
-        w = _pair_weights(pxi_ref[0], pyi_ref[0], vvi_ref[0],
-                          pxj_ref[0], pyj_ref[0], vvj_ref[0], r2_ref[0])
+        w = _pair_weights(*_unpack(pi_ref), *_unpack(pj_ref), r2_ref[0])
         out_ref[0, :] += jnp.sum(w, axis=0)
 
 
-def _spmm_kernel_compact(idx_ref, cnt_ref, r2_ref, pxi_ref, pyi_ref,
-                         vvi_ref, pxj_ref, pyj_ref, vvj_ref, x_ref, out_ref):
+def _spmm_kernel_compact(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref, x_ref,
+                         out_ref):
     j, k = pl.program_id(0), pl.program_id(1)
 
     @pl.when(k == 0)
@@ -303,8 +309,7 @@ def _spmm_kernel_compact(idx_ref, cnt_ref, r2_ref, pxi_ref, pyi_ref,
 
     @pl.when(k < cnt_ref[j])
     def _():
-        w = _pair_weights(pxi_ref[0], pyi_ref[0], vvi_ref[0],
-                          pxj_ref[0], pyj_ref[0], vvj_ref[0], r2_ref[0])
+        w = _pair_weights(*_unpack(pi_ref), *_unpack(pj_ref), r2_ref[0])
         out_ref[:] += jnp.dot(w.T, x_ref[:],
                               preferred_element_type=jnp.float32)
 
@@ -312,13 +317,13 @@ def _spmm_kernel_compact(idx_ref, cnt_ref, r2_ref, pxi_ref, pyi_ref,
 def _compact_plane_specs():
     # scalar-prefetch index maps receive the prefetch refs after the grid
     # indices: (j, k, idx_ref, cnt_ref, r2_ref)
-    send = lambda: pl.BlockSpec((_SUB, BLOCK),
-                                lambda j, k, idx, cnt, r2: (idx[j, k], 0),
-                                memory_space=pltpu.VMEM)
-    recv = lambda: pl.BlockSpec((_SUB, BLOCK),
-                                lambda j, k, idx, cnt, r2: (j, 0),
-                                memory_space=pltpu.VMEM)
-    return [send(), send(), send()], [recv(), recv(), recv()]
+    send = pl.BlockSpec((3 * _SUB, BLOCK),
+                        lambda j, k, idx, cnt, r2: (idx[j, k], 0),
+                        memory_space=pltpu.VMEM)
+    recv = pl.BlockSpec((3 * _SUB, BLOCK),
+                        lambda j, k, idx, cnt, r2: (j, 0),
+                        memory_space=pltpu.VMEM)
+    return send, recv
 
 
 def geometric_degrees_compact(pos: jax.Array, radius, valid: jax.Array,
@@ -328,20 +333,19 @@ def geometric_degrees_compact(pos: jax.Array, radius, valid: jax.Array,
                               recv_valid: jax.Array | None = None) -> jax.Array:
     """Compact-grid variant of :func:`geometric_degrees`: only the (up to
     ``cap``) active sender blocks per receiver are visited/DMA'd."""
-    px, py, vv = _planes(pos, valid)
+    ps = _planes(pos, valid)
     if recv_pos is None:
-        qx, qy, qv = px, py, vv
-        nb_r = pos.shape[0] // BLOCK
+        pr, nb_r = ps, pos.shape[0] // BLOCK
     else:
         nb_r = recv_pos.shape[0] // BLOCK
-        qx, qy, qv = _planes(recv_pos, recv_valid)
+        pr = _planes(recv_pos, recv_valid)
     cap = idx.shape[1]
     r2 = (jnp.asarray(radius, jnp.float32) ** 2).reshape(1)
     send, recv = _compact_plane_specs()
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nb_r, cap),
-        in_specs=[*send, *recv],
+        in_specs=[send, recv],
         out_specs=pl.BlockSpec((_SUB, BLOCK),
                                lambda j, k, *_: (j, 0),
                                memory_space=pltpu.VMEM))
@@ -349,9 +353,9 @@ def geometric_degrees_compact(pos: jax.Array, radius, valid: jax.Array,
         _degree_kernel_compact,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb_r * _SUB, BLOCK), jnp.float32,
-                                       vma=_join_vma(idx, px, qx)),
+                                       vma=_join_vma(idx, ps, pr)),
         interpret=interpret,
-    )(idx, count, r2, px, py, vv, qx, qy, qv)
+    )(idx, count, r2, ps, pr)
     return out.reshape(nb_r, _SUB, BLOCK)[:, 0].reshape(-1)
 
 
@@ -365,12 +369,12 @@ def geometric_spmm_compact(pos: jax.Array, x: jax.Array, radius,
     cutting HBM traffic by the inactive fraction — the dense-grid kernel
     already runs at ~96%% of v5e bandwidth, so traffic is the lever."""
     n, g = x.shape
-    px, py, vv = _planes(pos, valid)
+    ps = _planes(pos, valid)
     if recv_pos is None:
-        qx, qy, qv, n_r = px, py, vv, n
+        pr, n_r = ps, n
     else:
         n_r = recv_pos.shape[0]
-        qx, qy, qv = _planes(recv_pos, recv_valid)
+        pr = _planes(recv_pos, recv_valid)
     nb_r = n_r // BLOCK
     cap = idx.shape[1]
     r2 = (jnp.asarray(radius, jnp.float32) ** 2).reshape(1)
@@ -378,7 +382,7 @@ def geometric_spmm_compact(pos: jax.Array, x: jax.Array, radius,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nb_r, cap),
-        in_specs=[*send, *recv,
+        in_specs=[send, recv,
                   pl.BlockSpec((BLOCK, g),
                                lambda j, k, idx_ref, cnt, r2: (idx_ref[j, k], 0),
                                memory_space=pltpu.VMEM)],
@@ -388,9 +392,9 @@ def geometric_spmm_compact(pos: jax.Array, x: jax.Array, radius,
         _spmm_kernel_compact,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_r, g), jnp.float32,
-                                       vma=_join_vma(idx, px, qx, x)),
+                                       vma=_join_vma(idx, ps, pr, x)),
         interpret=interpret,
-    )(idx, count, r2, px, py, vv, qx, qy, qv, x)
+    )(idx, count, r2, ps, pr, x)
     return out
 
 
