@@ -60,6 +60,9 @@ def parse_args():
     p.add_argument("--chain", type=int, default=100)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--dense-max", type=int, default=4096)
+    p.add_argument("--trace", type=str, default=None,
+                   help="jax.profiler trace dir: captures one exhaustive + "
+                        "one compact chain at the largest size")
     p.add_argument("--out", type=str,
                    default=str(REPO / "benchmarks" / "pallas_roofline.json"))
     return p.parse_args()
@@ -147,6 +150,12 @@ def measure_size(n: int, args) -> dict:
 
     _, _, compact_chain, compact_per_call = measure_chained(
         chain_compact, x0, args)
+
+    if args.trace and n == max(args.sizes):
+        from gnn_pathplanning_tpu.train.profiling import trace_scope
+        with trace_scope(args.trace):
+            jax.block_until_ready(chain(20)(x0))
+            jax.block_until_ready(chain_compact(20)(x0))
 
     # HBM traffic model per fused SpMM application: every active block pair
     # reads its sender x block (BLOCK x G f32) + 6 coordinate planes
