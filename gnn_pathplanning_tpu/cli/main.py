@@ -39,6 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--online_expert", action="store_true", default=None)
     p.add_argument("--data_augment", action="store_true", default=None,
                    help="D4 symmetry augmentation of training samples")
+    p.add_argument("--tta", action="store_true", default=None,
+                   help="D4 test-time ensembling during rollout eval")
     p.add_argument("--log_anime", action="store_true", default=None,
                    help="export rollout YAML/GSO artifact sets in --mode test "
                         "(reference log_anime flow)")
@@ -99,7 +101,7 @@ def main(argv=None) -> int:
         max_epoch=cfg.max_epoch, batch_size=cfg.batch_size,
         validate_every=cfg.validate_every, comm_radius=cfg.commR,
         rate_maxstep=cfg.rate_maxstep, num_valid_rollouts=cfg.num_validset,
-        seed=cfg.seed, augment=cfg.data_augment)
+        seed=cfg.seed, augment=cfg.data_augment, tta=cfg.tta)
     model = DCPNet(DCPConfig(num_taps=cfg.nGraphFilterTaps))
 
     if cfg.mode == "train":

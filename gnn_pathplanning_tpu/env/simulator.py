@@ -254,7 +254,7 @@ def make_policy(apply_fn: Callable, variables) -> Callable:
 def rollout_batch(policy: Callable, cases: SimCase, max_steps: int,
                   comm_radius: float, key: jax.Array,
                   rate_maxstep: int = 2, record_paths: bool = False,
-                  winner: str = "random") -> Rollout:
+                  winner: str = "random", tta: bool = False) -> Rollout:
     """Run a batch of closed-loop rollouts under one jit-able program.
 
     Args:
@@ -269,6 +269,12 @@ def rollout_batch(policy: Callable, cases: SimCase, max_steps: int,
       winner: vertex-conflict winner rule — "random" (reference
         ``random.choice`` semantics via seeded priorities) or "index"
         (highest agent index wins; deterministic, for parity harnesses).
+      tta: D4 test-time ensembling — a framework-native addition over the
+        reference: the MAPF problem is equivariant under the 8 square
+        symmetries, so each step's action logits are averaged over the
+        policy applied to all 8 transformed worlds with the action labels
+        permuted back (ops/augment.py). 8x forward cost; square maps only.
+        The GSO is distance-based and therefore invariant.
 
     Returns:
       Rollout with batched metrics (leading axis B).
@@ -286,11 +292,33 @@ def rollout_batch(policy: Callable, cases: SimCase, max_steps: int,
 
     def scan_step(carry, step_key):
         st = carry
-        obs = jax.vmap(render_fov)(cases.grid, st.pos, cases.goals)
         adj = jax.vmap(adjacency_from_positions)(
             st.pos.astype(jnp.float32), radius)
         gso = jax.vmap(normalize_adjacency)(adj)
-        logits = policy(obs, gso)
+        if tta:
+            from ..ops.augment import ACTION_PERM, apply_d4
+
+            def logits_for(g):
+                def per_case(grid, p, gl):
+                    grid_g, p_g, gl_g, _ = apply_d4(
+                        grid, p, gl, jnp.zeros(p.shape[:-1], jnp.int32),
+                        jnp.int32(g))
+                    return grid_g, p_g, gl_g
+
+                grids_g, pos_g, goals_g = jax.vmap(per_case)(
+                    cases.grid, st.pos, cases.goals)
+                obs_g = jax.vmap(render_fov)(grids_g, pos_g, goals_g)
+                lg = policy(obs_g, gso)
+                # lg indexes *transformed* labels: transformed label of
+                # original action a is ACTION_PERM[g, a], so gather puts
+                # the ensemble member back in the original frame.
+                return jnp.take(lg, ACTION_PERM[g], axis=-1)
+
+            logits = jnp.mean(jnp.stack([logits_for(g) for g in range(8)]),
+                              axis=0)
+        else:
+            obs = jax.vmap(render_fov)(cases.grid, st.pos, cases.goals)
+            logits = policy(obs, gso)
         keys = jax.random.split(step_key, st.pos.shape[0])
         if winner == "index":
             b, n = st.pos.shape[:2]

@@ -59,6 +59,9 @@ class TrainConfig:
     # D4 symmetry augmentation of training samples (square maps only) — a
     # framework-native addition over the reference recipe (ops/augment.py).
     augment: bool = False
+    # D4 test-time ensembling in rollout validation (env/simulator.py
+    # rollout_batch tta=...) — framework-native, 8x eval forward cost.
+    tta: bool = False
 
 
 def cosine_lr(cfg: TrainConfig, epoch) -> jax.Array:
@@ -292,7 +295,7 @@ class Trainer:
             out = rollout_batch(self.policy(), cases, max_steps,
                                 self.cfg.comm_radius,
                                 jax.random.PRNGKey(self.cfg.seed),
-                                self.cfg.rate_maxstep)
+                                self.cfg.rate_maxstep, tta=self.cfg.tta)
             jax.block_until_ready(out.metrics.all_reached)
         rec = PerformanceRecorder(n)
         rec.update_from_rollout(out.metrics)

@@ -54,6 +54,7 @@ DEFAULTS = Config(
     Start_onlineExpert=20,
     online_expert=False,
     data_augment=False,
+    tta=False,
     seed=1337,
     data_root="data",
     save_root="experiments",
