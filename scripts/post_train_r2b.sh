@@ -1,0 +1,35 @@
+#!/bin/bash
+# Round-2 post-training chain v2: wait for the training PID, select the
+# best checkpoint on the fresh valid2 pool (unbiased: test split untouched),
+# then run the reference-regime eval sweep on the winner, the real-TPU
+# kernel tests, and bench. Survives session death under nohup.
+# Usage: scripts/post_train_r2b.sh <train_pid> <exp_dir>
+set -u
+PID="$1"
+EXP="$2"
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+
+while kill -0 "$PID" 2>/dev/null; do sleep 30; done
+echo "training pid $PID exited at $(date -u)"
+
+echo "=== CHECKPOINT SELECTION (valid2) ==="
+timeout 3600 python scripts/select_checkpoint.py "$EXP" \
+  --pool data2/map20x20_density_p1/10_Agent/valid2 --limit 600 \
+  --last 12 --swa 4 8 2>&1 | grep -v WARNING
+
+CKPT="$EXP/checkpoints/model_selected.msgpack"
+[ -f "$CKPT" ] || CKPT="$EXP/checkpoints/model_best.msgpack"
+echo "using checkpoint: $CKPT"
+
+echo "=== EVAL SWEEP ==="
+timeout 7200 bash scripts/eval_round2.sh "$CKPT" 2>&1 | grep -v WARNING
+
+echo "=== REAL-TPU KERNEL TESTS ==="
+timeout 1800 python -m pytest tests/test_tpu_real.py -q -m tpu 2>&1 \
+  | grep -v WARNING | tail -2
+
+echo "=== BENCH ==="
+timeout 3600 python bench.py 2>&1 | grep -v WARNING | tail -1
+
+echo "post-train chain v2 done at $(date -u)"

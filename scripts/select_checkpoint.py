@@ -1,0 +1,120 @@
+"""Unbiased best-checkpoint selection on a held-out selection pool.
+
+The training run picks `model_best` by rate_ReachGoal on the 200-case valid
+split — noisy to ±2pp (see ROUND2.md). This script re-scores every numbered
+checkpoint (plus optional stochastic-weight-averaging candidates built from
+checkpoint tails) on a LARGER, fresh selection pool (valid2: maps disjoint
+from train/valid/test by construction — different generator seed), then
+writes the winner to ``<exp>/checkpoints/model_selected.msgpack`` and a
+ranking JSON next to it.
+
+The test split is never touched here: selection stays unbiased.
+
+Usage:
+  python scripts/select_checkpoint.py <exp_dir> [--pool data2/.../valid2]
+      [--limit 600] [--swa 4 8 16] [--last 12]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import re
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from gnn_pathplanning_tpu.data.dataset import load_split
+from gnn_pathplanning_tpu.models.dcp import DCPConfig, DCPNet
+from flax import serialization
+
+from gnn_pathplanning_tpu.train.checkpoint import load_checkpoint
+from gnn_pathplanning_tpu.train.trainer import TrainConfig, Trainer
+
+
+def numbered_checkpoints(ckpt_dir: Path) -> list[tuple[int, Path]]:
+    out = []
+    for p in ckpt_dir.glob("checkpoint_epoch*.msgpack"):
+        m = re.search(r"epoch(\d+)", p.name)
+        if m:
+            out.append((int(m.group(1)), p))
+    return sorted(out)
+
+
+def average_states(states):
+    """Elementwise mean over TrainState pytrees (params + batch_stats; the
+    optimizer state is irrelevant for inference and copied from the last)."""
+    def mean(*xs):
+        return sum(np.asarray(x, np.float64) for x in xs) / len(xs)
+    avg = jax.tree_util.tree_map(mean, *states)
+    cast = jax.tree_util.tree_map(
+        lambda a, ref: np.asarray(a, np.asarray(ref).dtype), avg, states[-1])
+    return cast
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("exp_dir")
+    ap.add_argument("--pool", default="data2/map20x20_density_p1/10_Agent/valid2")
+    ap.add_argument("--limit", type=int, default=600)
+    ap.add_argument("--last", type=int, default=12,
+                    help="re-score the last N numbered checkpoints")
+    ap.add_argument("--swa", type=int, nargs="*", default=[4, 8],
+                    help="also score SWA averages over these tail lengths")
+    ap.add_argument("--taps", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (sitecustomize pins axon; "
+                         "the env var does not work on this rig)")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    exp = Path(args.exp_dir)
+    ckpt_dir = exp / "checkpoints"
+    pool = load_split(args.pool, limit=args.limit)
+    model = DCPNet(DCPConfig(num_taps=args.taps))
+    tcfg = TrainConfig()
+    trainer = Trainer(model, tcfg, exp, valid_set=pool)
+
+    numbered = numbered_checkpoints(ckpt_dir)[-args.last:]
+    candidates: list[tuple[str, object]] = []
+    loaded = {}
+    for ep, path in numbered:
+        state, _ = load_checkpoint(path, trainer.state)
+        loaded[ep] = state
+        candidates.append((f"epoch{ep}", state))
+    best_path = ckpt_dir / "model_best.msgpack"
+    if best_path.exists():
+        state, meta = load_checkpoint(best_path, trainer.state)
+        candidates.append((f"model_best(ep{meta.get('epoch', '?')})", state))
+    for k in args.swa:
+        tail = [loaded[ep] for ep, _ in numbered[-k:] if ep in loaded]
+        if len(tail) >= 2:
+            candidates.append((f"swa_last{len(tail)}", average_states(tail)))
+
+    rows = []
+    for name, state in candidates:
+        trainer.state = state
+        m = trainer.validate_rollout(pool, limit=args.limit, label=name)
+        rows.append(dict(name=name, rate_ReachGoal=m["rate_ReachGoal"],
+                         mean_deltaFT=m["mean_deltaFT"]))
+        print(f"{name:24s} rate_ReachGoal={m['rate_ReachGoal']:.4f} "
+              f"dFT={m['mean_deltaFT']:.4f}", flush=True)
+
+    # Winner: success rate, then lower flowtime deterioration as tiebreak.
+    rows.sort(key=lambda r: (-r["rate_ReachGoal"], r["mean_deltaFT"]))
+    winner = rows[0]["name"]
+    state = dict(candidates)[winner]
+    out = ckpt_dir / "model_selected.msgpack"
+    out.write_bytes(serialization.to_bytes(state))
+    out.with_suffix(".meta.json").write_text(json.dumps(
+        {"selected_from": winner, "pool": args.pool,
+         "pool_cases": pool.num_cases,
+         "rate_ReachGoal": rows[0]["rate_ReachGoal"]}))
+    (ckpt_dir / "selection.json").write_text(json.dumps(
+        dict(pool=args.pool, cases=pool.num_cases, ranking=rows), indent=1))
+    print(json.dumps(dict(winner=winner, **rows[0])))
+
+
+if __name__ == "__main__":
+    main()
