@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--test_epoch", type=int, default=None)
     p.add_argument("--test_checkpoint", type=str, default=None,
                    help="explicit checkpoint path for --mode test")
+    p.add_argument("--ensemble_checkpoints", type=str, default=None,
+                   help="comma-separated extra checkpoints whose action "
+                        "distributions are averaged with --test_checkpoint "
+                        "at rollout time (framework extension)")
     # gen_data options
     p.add_argument("--num_maps", type=int, default=None)
     p.add_argument("--cases_per_map", type=int, default=None)
@@ -70,6 +74,7 @@ def main(argv=None) -> int:
     from ..utils.config import load_config, process_config
     overrides = {k: v for k, v in vars(args).items()
                  if k not in ("config", "test_checkpoint", "pretrained",
+                              "ensemble_checkpoints",
                               "num_maps", "cases_per_map", "solver",
                               "workers", "log_time_trained")}
     cfg = load_config(args.config, overrides)
@@ -151,6 +156,11 @@ def main(argv=None) -> int:
         elif not trainer.try_resume(which):
             log.error("no checkpoint found in %s", cfg.exp_dir)
             return 1
+        if args.ensemble_checkpoints:
+            from ..train.checkpoint import load_checkpoint
+            for path in args.ensemble_checkpoints.split(","):
+                member, _ = load_checkpoint(path.strip(), trainer.state)
+                trainer.ensemble_states.append(member)
         summary = trainer.validate_rollout(test_set, limit=cfg.num_testset,
                                            label="test")
         # Reference test-flow artifacts (decentralplannerlocal.py:615-626 +

@@ -192,6 +192,11 @@ class Trainer:
         self.logger = MetricsLogger(self.exp_dir / "metrics.jsonl")
         self.rng = np.random.RandomState(cfg.seed)
         self.best_reach_rate = -1.0
+        # Extra member states for test-time policy ensembling (averaged
+        # action distributions; framework extension — the reference
+        # evaluates a single checkpoint). Populated by the CLI's
+        # --ensemble_checkpoints flag.
+        self.ensemble_states: list[TrainState] = []
         # per-phase wall-time accounting (reference per-phase time record,
         # decentralplannerlocal.py:537-592)
         from .profiling import PhaseTimer
@@ -209,6 +214,19 @@ class Trainer:
 
     # ------------------------------------------------------------- policy
     def policy(self):
+        if self.ensemble_states:
+            members = [{"params": s.params, "batch_stats": s.batch_stats}
+                       for s in (self.state, *self.ensemble_states)]
+            apply_fn = self.model.apply
+
+            def ensemble_policy(obs, gso):
+                # Mean action distribution over members; log() keeps the
+                # logits contract (argmax-equivalent, TTA-composable).
+                probs = sum(jax.nn.softmax(
+                    apply_fn(v, obs, gso, train=False), axis=-1)
+                    for v in members)
+                return jnp.log(probs / len(members))
+            return ensemble_policy
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
         apply_fn = self.model.apply

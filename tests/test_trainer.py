@@ -100,3 +100,31 @@ def test_export_rollouts(trainer, tmp_path):
     files = list((tmp_path / "anime" / "predict").glob("*.yaml"))
     assert len(files) == 2
     assert (tmp_path / "anime" / "GSO").exists()
+
+
+def test_ensemble_policy(trainer):
+    """Ensembling (framework extension): an ensemble of the same member is
+    argmax-equivalent to the single policy, and a 2-member ensemble of
+    different weights averages action distributions."""
+    obs = jnp.zeros((2, 3, 3, 11, 11), jnp.float32)
+    gso = jnp.eye(3, dtype=jnp.float32)[None].repeat(2, 0)
+    single = trainer.policy()(obs, gso)
+
+    trainer.ensemble_states = [trainer.state]
+    same = trainer.policy()(obs, gso)
+    np.testing.assert_array_equal(np.argmax(single, -1), np.argmax(same, -1))
+    np.testing.assert_allclose(np.asarray(jax.nn.softmax(same, -1)),
+                               np.asarray(jax.nn.softmax(single, -1)),
+                               atol=1e-6)
+
+    trainer.train_one_epoch(0)  # perturb live state away from the member
+    mixed = trainer.policy()(obs, gso)
+    a = jax.nn.softmax(trainer.model.apply(
+        {"params": trainer.state.params,
+         "batch_stats": trainer.state.batch_stats}, obs, gso, train=False))
+    b = jax.nn.softmax(trainer.model.apply(
+        {"params": trainer.ensemble_states[0].params,
+         "batch_stats": trainer.ensemble_states[0].batch_stats},
+        obs, gso, train=False))
+    np.testing.assert_allclose(np.asarray(jax.nn.softmax(mixed, -1)),
+                               np.asarray((a + b) / 2), atol=1e-6)
