@@ -81,7 +81,12 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--rate_maxstep", type=int, default=2)
     ap.add_argument("--commR", type=float, default=6.0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (sitecustomize pins axon; "
+                         "the JAX_PLATFORMS env var does not work here)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     split_dir, n = SETS[args.set]
     ds = load_split(split_dir, limit=args.cases)
