@@ -68,12 +68,19 @@ def export_map_set(pool: CasePool, out_root: str | Path) -> int:
 
 def generate_case_pool(num_maps: int, cases_per_map: int, map_w: int,
                        map_h: int, num_agents: int, complexity: float = 0.01,
-                       density: float = 0.1, seed: int = 1337) -> CasePool:
-    """Random maps + per-map case sets (CasesSolver.py:234-351 semantics)."""
+                       density: float = 0.1, seed: int = 1337,
+                       map_type: str = "map") -> CasePool:
+    """Random maps + per-map case sets (CasesSolver.py:234-351 semantics).
+    ``map_type`` picks the obstacle family: "map"/"maze" = maze walks,
+    "random" = uniform obstacles (the BMAP benchmark family)."""
+    from .mapgen import generate_random_map
     rng = np.random.RandomState(seed)
     pool = CasePool([], [], [], [], [])
     for m in range(num_maps):
-        grid = generate_map(map_w, map_h, complexity, density, rng)
+        if map_type == "random":
+            grid = generate_random_map(map_w, map_h, density, rng)
+        else:
+            grid = generate_map(map_w, map_h, complexity, density, rng)
         for c in range(cases_per_map):
             sg = random_start_goal_pairs(grid, num_agents, rng)
             if sg is None:
@@ -132,7 +139,8 @@ def generate_dataset(root: str | Path, map_w: int = 20, map_h: int = 20,
     counts = {}
     for i, (split, (n_maps, n_cases)) in enumerate(splits.items()):
         pool = generate_case_pool(n_maps, n_cases, map_w, map_h, num_agents,
-                                  complexity, density, seed + 7919 * i)
+                                  complexity, density, seed + 7919 * i,
+                                  map_type=map_type)
         base = dataset_dir(root, map_w, map_h, density_label, num_agents,
                            split, map_type).parent
         if export_maps:

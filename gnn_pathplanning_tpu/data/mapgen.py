@@ -91,6 +91,23 @@ def generate_map(width: int, height: int, complexity: float = 0.01,
     return grid
 
 
+def generate_random_map(width: int, height: int, density: float = 0.1,
+                        rng: np.random.RandomState | None = None) -> np.ndarray:
+    """Uniform-random obstacle map with a single connected free region — the
+    statistical family of the MovingAI ``random-W-H-10`` benchmark maps the
+    reference's BMAP configs load (CasesSolver.py:215-232 via
+    ``--loadmap_TYPE random``; e.g. the 40x40/64-agent generalization test,
+    scripts/test_general_dcpOE_best_K3.sh). When the benchmark files
+    themselves are available, use :func:`load_movingai_map` instead."""
+    rng = rng or np.random.RandomState()
+    for _ in range(100):
+        grid = fill_unreachable(
+            (rng.random_sample((height, width)) < density).astype(np.int64))
+        if 0 < grid.sum() < grid.size:
+            return grid
+    return grid
+
+
 def load_movingai_map(path) -> np.ndarray:
     """Load a MovingAI-benchmark ``.map`` file (the format consumed by the
     reference's ``load_benchmarkMap``, CasesSolver.py:215-232): header lines

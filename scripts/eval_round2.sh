@@ -38,6 +38,8 @@ python -m gnn_pathplanning_tpu.cli.main --mode test --test_checkpoint "$CKPT" \
 python -m gnn_pathplanning_tpu.cli.main --mode test --test_checkpoint "$CKPT" \
     --map_w 40 --map_h 40 --num_agents 40 --num_testset 200 \
     "${COMMON[@]}" "$@"
+# The reference's 64-agent line uses BMAP "random" maps (uniform obstacles,
+# dcp_onlineExpert_BMAP.json --map_type random) — mirror that family.
 python -m gnn_pathplanning_tpu.cli.main --mode test --test_checkpoint "$CKPT" \
     --map_w 40 --map_h 40 --num_agents 64 --commR 11 --num_testset 20 \
-    "${COMMON[@]}" "$@"
+    --map_type random "${COMMON[@]}" "$@"

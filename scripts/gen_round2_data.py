@@ -16,12 +16,13 @@ from gnn_pathplanning_tpu.data.cases import generate_dataset
 ROOT = sys.argv[1] if len(sys.argv) > 1 else "data2"
 
 
-def gen(map_w, map_h, n_agents, splits, workers=2, seed=1337):
+def gen(map_w, map_h, n_agents, splits, workers=2, seed=1337,
+        map_type="map"):
     t0 = time.time()
     counts = generate_dataset(ROOT, map_w=map_w, map_h=map_h,
                               num_agents=n_agents, density_label=1,
                               splits=splits, algo="ecbs", workers=workers,
-                              seed=seed)
+                              seed=seed, map_type=map_type)
     print(f"{map_w}x{map_h}/{n_agents}ag: {counts} in {time.time()-t0:.0f}s",
           flush=True)
 
@@ -58,6 +59,9 @@ if __name__ == "__main__":
     gen(28, 28, 20, {"test": (25, 20)})
     gen(40, 40, 40, {"test": (20, 10)})
     gen(40, 40, 64, {"test": (4, 5)})
+    # BMAP-family 64-agent set: uniform-random obstacle maps, matching the
+    # reference's --map_type random generalization line.
+    gen(40, 40, 64, {"test": (4, 5)}, map_type="random")
     # Round-2 second half: fresh checkpoint-selection pool (disjoint maps,
     # own seed; the test split stays untouched by selection) + 10k extra
     # train cases for the fine-tune phase, merged into data3.

@@ -6,7 +6,9 @@ from gnn_pathplanning_tpu.data import (
     CaseDataset, generate_case_pool, generate_dataset, load_record,
     load_split, record_from_solution, save_record, solve_case,
 )
-from gnn_pathplanning_tpu.data.mapgen import fill_unreachable, generate_map
+from gnn_pathplanning_tpu.data.mapgen import (fill_unreachable,
+                                              generate_map,
+                                              generate_random_map)
 from gnn_pathplanning_tpu.data.transform import (actions_from_states,
                                                  replay_targets,
                                                  trajectory_radius)
@@ -22,6 +24,23 @@ def test_generate_map_connected_free_space(rng):
         np.testing.assert_array_equal(fill_unreachable(grid), grid)
         assert 0 < grid.sum() < grid.size
 
+
+
+def test_generate_random_map_family(rng):
+    """BMAP 'random' family: uniform obstacles near the target density,
+    single connected free region, no maze structure requirement."""
+    for _ in range(5):
+        grid = generate_random_map(40, 40, density=0.1, rng=rng)
+        np.testing.assert_array_equal(fill_unreachable(grid), grid)
+        assert 0 < grid.sum() < grid.size
+        # density lands near 10% (+ fill-in of unreachable pockets)
+        assert 0.05 <= grid.mean() <= 0.25
+
+
+def test_case_pool_map_type_random(rng):
+    from gnn_pathplanning_tpu.data.cases import generate_case_pool
+    pool = generate_case_pool(2, 3, 24, 24, 8, seed=5, map_type="random")
+    assert len(pool.grids) == 6
 
 def test_actions_roundtrip(rng):
     # random unit-step walk
