@@ -60,6 +60,9 @@ def parse_args():
     p.add_argument("--chain", type=int, default=100)
     p.add_argument("--reps", type=int, default=5)
     p.add_argument("--dense-max", type=int, default=4096)
+    p.add_argument("--multi", type=int, nargs="*", default=[2, 4],
+                   help="senders-per-step values for the batched compact "
+                        "grid; also measures bf16 features at the best one")
     p.add_argument("--trace", type=str, default=None,
                    help="jax.profiler trace dir: captures one exhaustive + "
                         "one compact chain at the largest size")
@@ -151,6 +154,41 @@ def measure_size(n: int, args) -> dict:
     _, _, compact_chain, compact_per_call = measure_chained(
         chain_compact, x0, args)
 
+    # Multi-sender-per-step compact grids (+ bf16 features at the best S):
+    # one-sender steps are per-step-overhead-bound; S senders share the
+    # step. bf16 halves the dominant x-block traffic (f32 accumulation).
+    multi = {}
+    for s_step in args.multi:
+        def chain_multi(c, s_step=s_step):
+            @jax.jit
+            def run(x):
+                def body(_, z):
+                    return geometric_spmm_compact(
+                        pos_pad, z, r, valid, idx, count,
+                        senders_per_step=s_step)
+                return jax.lax.fori_loop(0, c, body, x)
+            return run
+
+        _, _, _, per = measure_chained(chain_multi, x0, args)
+        multi[f"compact_s{s_step}_per_call_s"] = per
+        multi[f"compact_s{s_step}_hbm_roofline_pct"] = None  # filled below
+    if args.multi:
+        best_s = min(args.multi,
+                     key=lambda s: multi[f"compact_s{s}_per_call_s"])
+        def chain_bf16(c, s_step=best_s):
+            @jax.jit
+            def run(x):
+                xx = x.astype(jnp.bfloat16)
+                def body(_, z):
+                    return geometric_spmm_compact(
+                        pos_pad, z, r, valid, idx, count,
+                        senders_per_step=s_step).astype(jnp.bfloat16)
+                return jax.lax.fori_loop(0, c, body, xx).astype(jnp.float32)
+            return run
+        _, _, _, per16 = measure_chained(chain_bf16, x0, args)
+        multi["bf16_best_s"] = best_s
+        multi["bf16_per_call_s"] = per16
+
     if args.trace and n == max(args.sizes):
         from gnn_pathplanning_tpu.train.profiling import trace_scope
         with trace_scope(args.trace):
@@ -192,6 +230,15 @@ def measure_size(n: int, args) -> dict:
             100 * flops / compact_per_call / 1e12 / V5E_BF16_TFLOPS,
         "compact_speedup": per_call / compact_per_call,
     }
+    for k, v in multi.items():
+        if k.endswith("_hbm_roofline_pct"):
+            continue
+        row[k] = v
+        if k.endswith("_per_call_s"):
+            pct = 100 * model_bytes / v / 1e9 / V5E_HBM_GBPS
+            row[k.replace("_per_call_s", "_hbm_roofline_pct")] = pct
+            row[k.replace("_per_call_s", "_speedup_vs_s1")] = \
+                compact_per_call / v
 
     # Dense crossover: build the normalized GSO from positions and apply one
     # [N, N] x [N, G] matmul (what ops.graph_filter does per hop).

@@ -310,8 +310,36 @@ def _spmm_kernel_compact(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref, x_ref,
     @pl.when(k < cnt_ref[j])
     def _():
         w = _pair_weights(*_unpack(pi_ref), *_unpack(pj_ref), r2_ref[0])
-        out_ref[:] += jnp.dot(w.T, x_ref[:],
+        out_ref[:] += jnp.dot(w.astype(x_ref.dtype).T, x_ref[:],
                               preferred_element_type=jnp.float32)
+
+
+def _make_spmm_kernel_compact_multi(s_per_step: int):
+    """Compact SpMM kernel processing ``s_per_step`` sender blocks per grid
+    step. One-sender steps are dominated by per-step fixed costs (grid
+    bookkeeping + DMA issue); batching S senders amortizes them S-fold
+    while keeping the same @pl.when-guarded skip semantics per sender."""
+
+    def kernel(idx_ref, cnt_ref, r2_ref, pr_ref, *rest):
+        senders = rest[:s_per_step]
+        xs = rest[s_per_step:2 * s_per_step]
+        out_ref = rest[2 * s_per_step]
+        j, kk = pl.program_id(0), pl.program_id(1)
+
+        @pl.when(kk == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        xr, yr, vr = _unpack(pr_ref)
+        for s in range(s_per_step):
+            @pl.when(kk * s_per_step + s < cnt_ref[j])
+            def _(s=s):
+                w = _pair_weights(*_unpack(senders[s]), xr, yr, vr,
+                                  r2_ref[0])
+                out_ref[:] += jnp.dot(w.astype(xs[s].dtype).T, xs[s][:],
+                                      preferred_element_type=jnp.float32)
+
+    return kernel
 
 
 def _compact_plane_specs():
@@ -363,11 +391,18 @@ def geometric_spmm_compact(pos: jax.Array, x: jax.Array, radius,
                            valid: jax.Array, idx: jax.Array,
                            count: jax.Array, interpret: bool = False,
                            recv_pos: jax.Array | None = None,
-                           recv_valid: jax.Array | None = None) -> jax.Array:
+                           recv_valid: jax.Array | None = None,
+                           senders_per_step: int = 1) -> jax.Array:
     """Compact-grid variant of :func:`geometric_spmm`: the sender x-block
     DMA happens only for active block pairs (plus the <= cap fill slots),
     cutting HBM traffic by the inactive fraction — the dense-grid kernel
-    already runs at ~96%% of v5e bandwidth, so traffic is the lever."""
+    already runs at ~96%% of v5e bandwidth, so traffic is the lever.
+
+    ``senders_per_step`` > 1 batches that many sender blocks into one grid
+    step (separate DMAs, shared step overhead) — the one-sender grid is
+    per-step-overhead-bound at swarm scale. ``x`` may be bfloat16 (halved
+    feature traffic); accumulation stays float32 and the 0/1 weights are
+    exactly representable, so bf16 only rounds the features themselves."""
     n, g = x.shape
     ps = _planes(pos, valid)
     if recv_pos is None:
@@ -376,26 +411,73 @@ def geometric_spmm_compact(pos: jax.Array, x: jax.Array, radius,
         n_r = recv_pos.shape[0]
         pr = _planes(recv_pos, recv_valid)
     nb_r = n_r // BLOCK
-    cap = idx.shape[1]
     r2 = (jnp.asarray(radius, jnp.float32) ** 2).reshape(1)
-    send, recv = _compact_plane_specs()
+    s_step = max(1, int(senders_per_step))
+    if s_step == 1:
+        cap = idx.shape[1]
+        send, recv = _compact_plane_specs()
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nb_r, cap),
+            in_specs=[send, recv,
+                      pl.BlockSpec((BLOCK, g),
+                                   lambda j, k, idx_ref, cnt, r2: (idx_ref[j, k], 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((BLOCK, g), lambda j, k, *_: (j, 0),
+                                   memory_space=pltpu.VMEM))
+        out = pl.pallas_call(
+            _spmm_kernel_compact,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_r, g), jnp.float32,
+                                           vma=_join_vma(idx, ps, pr, x)),
+            interpret=interpret,
+        )(idx, count, r2, ps, pr, x)
+        return out
+
+    idx_m = _pad_idx_multi(idx, s_step)
+    steps = idx_m.shape[1] // s_step
+
+    def send_spec(s):
+        return pl.BlockSpec(
+            (3 * _SUB, BLOCK),
+            lambda j, kk, idx_ref, cnt, r2, s=s: (idx_ref[j, kk * s_step + s], 0),
+            memory_space=pltpu.VMEM)
+
+    def x_spec(s):
+        return pl.BlockSpec(
+            (BLOCK, g),
+            lambda j, kk, idx_ref, cnt, r2, s=s: (idx_ref[j, kk * s_step + s], 0),
+            memory_space=pltpu.VMEM)
+
+    recv = pl.BlockSpec((3 * _SUB, BLOCK), lambda j, kk, *_: (j, 0),
+                        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nb_r, cap),
-        in_specs=[send, recv,
-                  pl.BlockSpec((BLOCK, g),
-                               lambda j, k, idx_ref, cnt, r2: (idx_ref[j, k], 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((BLOCK, g), lambda j, k, *_: (j, 0),
+        grid=(nb_r, steps),
+        in_specs=[recv] + [send_spec(s) for s in range(s_step)]
+                 + [x_spec(s) for s in range(s_step)],
+        out_specs=pl.BlockSpec((BLOCK, g), lambda j, kk, *_: (j, 0),
                                memory_space=pltpu.VMEM))
     out = pl.pallas_call(
-        _spmm_kernel_compact,
+        _make_spmm_kernel_compact_multi(s_step),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_r, g), jnp.float32,
-                                       vma=_join_vma(idx, ps, pr, x)),
+                                       vma=_join_vma(idx_m, ps, pr, x)),
         interpret=interpret,
-    )(idx, count, r2, ps, pr, x)
+    )(idx_m, count, r2, pr, *([ps] * s_step), *([x] * s_step))
     return out
+
+
+def _pad_idx_multi(idx: jax.Array, s_step: int) -> jax.Array:
+    """Pad the compact sender-index columns to a multiple of ``s_step``
+    (repeating the last column — fill steps re-DMA the same block, which
+    Pallas skips, and compute stays @pl.when-guarded)."""
+    cap = idx.shape[1]
+    cap_m = -(-cap // s_step) * s_step
+    if cap_m == cap:
+        return idx
+    pad = jnp.broadcast_to(idx[:, -1:], (idx.shape[0], cap_m - cap))
+    return jnp.concatenate([idx, pad], axis=1)
 
 
 def make_geometric_ops(send_pos: jax.Array, send_valid: jax.Array, radius,

@@ -142,3 +142,58 @@ def test_compact_filter_with_overflow_fallback(rng):
             pos_p, x_p, r, jnp.asarray(w), valid=valid, interpret=True,
             cap=cap))[:n]
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("s_step", [2, 3, 4])
+def test_compact_spmm_multi_sender_matches(rng, s_step):
+    """Multi-sender-per-step compact grid == single-sender grid, exactly
+    (same f32 adds in the same receiver-block order)."""
+    n, g, r = 500, 16, 8.0
+    pos = _swarm(rng, n, world=120)
+    order = np.asarray(ps.spatial_sort(jnp.asarray(pos), cell=r))
+    pos = pos[order]
+    pos_p, x_p, valid = ps.pad_agents(jnp.asarray(pos),
+                                      jnp.asarray(rng.rand(n, g)
+                                                  .astype(np.float32)))
+    mask = ps.block_pair_mask(pos_p, r, valid)
+    cap = int(np.asarray(mask).sum(axis=0).max())
+    idx, count, overflow = ps.compact_sender_index(mask, cap)
+    assert not bool(overflow)
+
+    want = np.asarray(ps.geometric_spmm_compact(pos_p, x_p, r, valid, idx,
+                                                count, interpret=True))
+    got = np.asarray(ps.geometric_spmm_compact(
+        pos_p, x_p, r, valid, idx, count, interpret=True,
+        senders_per_step=s_step))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_compact_spmm_bf16_features(rng):
+    """bf16 features: 0/1 weights are exact, accumulation is f32, so the
+    only error is the bf16 rounding of x itself."""
+    n, g, r = 400, 32, 8.0
+    pos = _swarm(rng, n, world=110)
+    order = np.asarray(ps.spatial_sort(jnp.asarray(pos), cell=r))
+    pos = pos[order]
+    x = rng.rand(n, g).astype(np.float32)
+    pos_p, x_p, valid = ps.pad_agents(jnp.asarray(pos), jnp.asarray(x))
+    mask = ps.block_pair_mask(pos_p, r, valid)
+    cap = int(np.asarray(mask).sum(axis=0).max())
+    idx, count, overflow = ps.compact_sender_index(mask, cap)
+    assert not bool(overflow)
+
+    want = np.asarray(ps.geometric_spmm_compact(pos_p, x_p, r, valid, idx,
+                                                count, interpret=True))
+    got = np.asarray(ps.geometric_spmm_compact(
+        pos_p, x_p.astype(jnp.bfloat16), r, valid, idx, count,
+        interpret=True, senders_per_step=2))
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
+
+
+def test_pad_idx_multi():
+    idx = jnp.asarray([[0, 1, 2], [3, 4, 5]], jnp.int32)
+    out = np.asarray(ps._pad_idx_multi(idx, 2))
+    np.testing.assert_array_equal(out, [[0, 1, 2, 2], [3, 4, 5, 5]])
+    np.testing.assert_array_equal(np.asarray(ps._pad_idx_multi(idx, 3)),
+                                  np.asarray(idx))

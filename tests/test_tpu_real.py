@@ -86,11 +86,26 @@ compact = jax.jit(lambda p, xx, v: graph_filter_geometric(
     p, xx, 6.0, jnp.asarray(w), jnp.asarray(bias), v, cap=cap))(
         pos2_p, x2_p, valid2)
 
+# Multi-sender-per-step compact grid + bf16 features on the real chip.
+from gnn_pathplanning_tpu.ops.pallas_swarm import (compact_sender_index,
+                                                   geometric_spmm_compact)
+
+cidx, ccount, coverflow = compact_sender_index(mask2, cap)
+assert not bool(coverflow)
+spmm_s1 = jax.jit(lambda: geometric_spmm_compact(
+    pos2_p, x2_p, 6.0, valid2, cidx, ccount))()
+spmm_s4 = jax.jit(lambda: geometric_spmm_compact(
+    pos2_p, x2_p, 6.0, valid2, cidx, ccount, senders_per_step=4))()
+spmm_bf16 = jax.jit(lambda: geometric_spmm_compact(
+    pos2_p, x2_p.astype(jnp.bfloat16), 6.0, valid2, cidx, ccount,
+    senders_per_step=4))()
+
 np.savez(out_path, dense=np.asarray(dense), geo=np.asarray(geo),
          valid=np.asarray(valid), gso=np.asarray(gso),
          rect=np.asarray(rect), recv_valid=np.asarray(recv_valid),
          pos2=pos2, x2=x2, compact=np.asarray(compact),
-         valid2=np.asarray(valid2))
+         valid2=np.asarray(valid2), spmm_s1=np.asarray(spmm_s1),
+         spmm_s4=np.asarray(spmm_s4), spmm_bf16=np.asarray(spmm_bf16))
 print("tpu child ok")
 """
 
@@ -187,4 +202,23 @@ def test_compact_geometric_filter_matches_cpu(tpu_results):
     want = np.asarray(graph_filter(jnp.asarray(x2)[None], gso[None],
                                    jnp.asarray(w), jnp.asarray(bias)))[0]
     got = tpu_results["compact"][tpu_results["valid2"].astype(bool)]
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_multi_sender_and_bf16_spmm_on_tpu(tpu_results):
+    """Real-TPU multi-sender compact grid == single-sender grid exactly;
+    bf16 features within bf16 rounding of the f32 result."""
+    s1 = tpu_results["spmm_s1"]
+    s4 = tpu_results["spmm_s4"]
+    np.testing.assert_array_equal(s4, s1)
+    bf = tpu_results["spmm_bf16"]
+    assert bf.dtype == np.float32
+    np.testing.assert_allclose(bf, s1, rtol=2e-2, atol=2e-2)
+
+    # And both match the CPU adjacency oracle.
+    pos2, x2 = tpu_results["pos2"], tpu_results["x2"]
+    d2 = ((pos2[:, None] - pos2[None]) ** 2).sum(-1)
+    w = ((d2 < 36.0) & (d2 > 0)).astype(np.float32)
+    want = w.T @ x2
+    got = s1[tpu_results["valid2"].astype(bool)]
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
