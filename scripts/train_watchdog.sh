@@ -1,0 +1,74 @@
+#!/bin/bash
+# Watchdog for training runs on the tunneled-TPU rig: the axon tunnel
+# occasionally dies mid-RPC and the training process blocks forever inside
+# a device call (observed twice on 2026-08-19: 28 min and >80 min stalls).
+# This watches the run's metrics.jsonl heartbeat; on a stale heartbeat it
+# kills the exact training PID, waits until a probe computation succeeds on
+# the chip again, and relaunches the run with --con_train (resume from the
+# latest checkpoint). Exits when the final epoch lands in metrics.jsonl.
+#
+# Usage:
+#   scripts/train_watchdog.sh <pid> <exp_dir> <final_epoch> <stale_secs> \
+#       -- <resume command...>
+# The resume command must include --con_train --log_time_trained <ts> and
+# repeat every flag of the original invocation (e.g. --data_augment — see
+# ROUND2.md "Provenance note" for what forgetting it does).
+set -u
+PID="$1"; EXP="$2"; FINAL_EPOCH="$3"; STALE="$4"
+shift 4
+[ "$1" = "--" ] && shift
+RESUME=("$@")
+METRICS="$EXP/metrics.jsonl"
+cd /root/repo
+
+log() { echo "[watchdog $(date -u +%H:%M:%S)] $*"; }
+
+done_yet() {
+  [ -f "$METRICS" ] || return 1
+  grep -q "\"kind\": \"epoch_done\", \"step\": $FINAL_EPOCH," "$METRICS"
+}
+
+probe_tpu() {
+  timeout 90 python - <<'EOF' >/dev/null 2>&1
+import jax, jax.numpy as jnp
+assert jax.devices()[0].platform != "cpu"
+assert float(jnp.ones((8, 8)).sum()) == 64.0
+EOF
+}
+
+while true; do
+  if done_yet; then
+    log "final epoch $FINAL_EPOCH reached; watchdog exiting"
+    exit 0
+  fi
+  if ! kill -0 "$PID" 2>/dev/null; then
+    log "pid $PID exited before epoch $FINAL_EPOCH; relaunching"
+  else
+    age=$(( $(date +%s) - $(stat -c %Y "$METRICS" 2>/dev/null || echo 0) ))
+    if [ "$age" -lt "$STALE" ]; then
+      sleep 60
+      continue
+    fi
+    log "heartbeat stale ${age}s (> $STALE); killing pid $PID"
+    # Guard against PID reuse: only kill if it is still our trainer.
+    if tr '\0' ' ' < "/proc/$PID/cmdline" 2>/dev/null \
+        | grep -q "cli.main.*--mode train"; then
+      kill "$PID" 2>/dev/null
+      sleep 10
+      kill -9 "$PID" 2>/dev/null
+    else
+      log "pid $PID is no longer the trainer; skipping kill"
+    fi
+  fi
+  log "waiting for the TPU tunnel to answer a probe"
+  until probe_tpu; do
+    log "tunnel still down; retrying in 120 s"
+    sleep 120
+  done
+  log "tunnel healthy; resuming: ${RESUME[*]}"
+  setsid nohup "${RESUME[@]}" >> /tmp/watchdog_train.log 2>&1 &
+  sleep 5
+  PID=$(pgrep -n -f "gnn_pathplanning_tpu.cli.main.*--mode train" || echo 0)
+  log "resumed as pid $PID"
+  sleep 120
+done
