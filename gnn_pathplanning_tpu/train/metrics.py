@@ -70,6 +70,12 @@ class PerformanceRecorder:
             "mean_deltaFT": float(d_ft.mean()),
             "std_deltaFT": std(d_ft),
             "hist_numAgentReachGoal": hist,
+            # Mean fraction of agents arriving per case (framework
+            # extension beyond the reference's all-or-nothing rate: the
+            # quantity that compounds into rate_ReachGoal at large N —
+            # see ROUND2.md's 40x40/40 analysis).
+            "rate_agentsReachGoal": float(n_reached.mean()
+                                          / max(self.num_agents, 1)),
             "list_reachGoal": reach.astype(int).tolist(),
         }
 
