@@ -118,3 +118,50 @@ class MetricsLogger:
                 if isinstance(v, (int, float)) and not isinstance(v, bool):
                     self._tb.add_scalar(f"{kind}/{k}", v, step)
             self._tb.flush()
+
+    # Rich-summary surface (capability parity with the reference's GSP
+    # Visualizer, /root/reference/utils/graphUtils/visualTools.py:28-62:
+    # image/figure/text/histogram summaries on the experiment's TB stream).
+    # All are no-ops when TensorBoard is disabled/unavailable.
+
+    def log_image(self, tag: str, step: int, image) -> None:
+        """image: [H, W], [H, W, C] or [C, H, W] array in [0, 1]."""
+        if self._tb is None:
+            return
+        import numpy as np
+        img = np.asarray(image)
+        fmt = "HW" if img.ndim == 2 else (
+            "HWC" if img.shape[-1] in (1, 3, 4) else "CHW")
+        self._tb.add_image(tag, img, step, dataformats=fmt)
+        self._tb.flush()
+
+    def log_figure(self, tag: str, step: int, fig) -> None:
+        if self._tb is None:
+            return
+        self._tb.add_figure(tag, fig, step)
+        self._tb.flush()
+
+    def log_text(self, tag: str, step: int, text: str) -> None:
+        if self._tb is None:
+            return
+        self._tb.add_text(tag, text, step)
+        self._tb.flush()
+
+    def log_histogram(self, tag: str, step: int, values) -> None:
+        """Histogram of a flat array (reference histo_summary logged every
+        model parameter; call per-leaf over a params pytree)."""
+        if self._tb is None:
+            return
+        import numpy as np
+        self._tb.add_histogram(tag, np.asarray(values).ravel(), step)
+        self._tb.flush()
+
+    def log_param_histograms(self, step: int, params) -> None:
+        """One histogram per pytree leaf, tagged by its tree path."""
+        if self._tb is None:
+            return
+        import jax
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+            name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                            for p in path)
+            self.log_histogram(f"params/{name}", step, leaf)

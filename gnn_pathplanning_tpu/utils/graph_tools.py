@@ -11,11 +11,9 @@ generation / analysis) complement to the jit-able ops in ``ops.gso``:
   ``sparsify_graph`` (:425), graph generators (:516 ``createGraph``: SBM,
   small-world, geometric), the ``Graph`` container class (:1027), node
   orderings ``perm_identity``/``perm_degree``/``perm_spectral_proxies``/
-  ``perm_eds`` (:824-996) and ``edge_fail_sampling`` (:997).
-
-The reference's metis/graclus coarsening pipeline (graphTools.py:1171-1448)
-is intentionally excluded: it is dead code in the MAPF pipeline (only
-reachable through the vendored GSP dataset experiments) — see PARITY.md.
+  ``perm_eds`` (:824-996), ``edge_fail_sampling`` (:997), and the
+  graclus/metis multilevel coarsening pipeline ``coarsen``/
+  ``perm_coarsening`` (:1171-1448) for graph-pooling experiments.
 """
 from __future__ import annotations
 
@@ -214,6 +212,122 @@ def edge_fail_sampling(w: np.ndarray, p: float,
         w = np.triu(w)
         w = w + w.T
     return w
+
+
+def _graclus_match(w: np.ndarray, visit: np.ndarray,
+                   node_weights: np.ndarray) -> np.ndarray:
+    """One greedy graclus matching pass over a dense weighted adjacency.
+
+    Visits nodes in ``visit`` order; each unmatched node pairs with the
+    unmatched neighbor maximizing the normalized-cut gain
+    ``w_ij * (1/d_i + 1/d_j)`` (the reference's graclus weighting,
+    graphTools.py:1322-1345), or stays a singleton if it has none.
+    Returns [N] cluster ids, contiguous from 0; every cluster has 1-2 nodes.
+    """
+    n = w.shape[0]
+    cluster = np.full(n, -1, np.int64)
+    inv = np.where(node_weights > 1e-12, 1.0 / np.maximum(node_weights, 1e-12), 0.0)
+    next_id = 0
+    for i in visit:
+        if cluster[i] >= 0:
+            continue
+        cluster[i] = next_id
+        gains = w[i] * (inv[i] + inv)
+        gains[cluster >= 0] = 0.0  # matched (incl. self) are unavailable
+        j = int(np.argmax(gains))
+        if gains[j] > 0.0:
+            cluster[j] = next_id
+        next_id += 1
+    return cluster
+
+
+def coarsen(w: np.ndarray, levels: int,
+            rng: np.random.RandomState | None = None,
+            self_connections: bool = False):
+    """Multilevel graclus coarsening with binary-tree node ordering
+    (capability parity with the reference ``coarsen``/``metis``/
+    ``compute_perm``/``perm_adjacency``, graphTools.py:1171-1448).
+
+    Returns ``(graphs, order)``:
+
+    - ``graphs[l]`` is the level-``l`` adjacency (dense float64); level 0 is
+      the input graph PADDED with isolated fake nodes and reordered so that
+      nodes ``2i`` and ``2i+1`` at level ``l`` are the children of node ``i``
+      at level ``l+1`` — i.e. graph pooling becomes a plain stride-2 1D max
+      pool over the node axis. ``graphs[l]`` has ``M0 / 2**l`` nodes where
+      ``M0 = len(order)``.
+    - ``order`` is the level-0 node ordering: position ``k`` holds original
+      node ``order[k]``, or a fake (``order[k] >= N``) zero-padded slot.
+
+    Coarse edge weights are the sums of fine edge weights between clusters;
+    self-loops created by contraction are dropped unless
+    ``self_connections``.
+    """
+    rng = rng or np.random.RandomState()
+    w = np.asarray(w, np.float64)
+    fine = [w]
+    parents: list[np.ndarray] = []
+    visit = rng.permutation(w.shape[0])  # random first visit (graclus style)
+    cur = w
+    for _ in range(levels):
+        deg = cur.sum(axis=0)
+        cluster = _graclus_match(cur, visit, deg)
+        parents.append(cluster)
+        m = int(cluster.max()) + 1
+        # contract: W'[a,b] = sum over i in a, j in b of W[i,j]
+        pool = np.zeros((m, cur.shape[0]))
+        pool[cluster, np.arange(cur.shape[0])] = 1.0
+        nxt = pool @ cur @ pool.T
+        if not self_connections:
+            np.fill_diagonal(nxt, 0.0)
+        fine.append(nxt)
+        # next visit order: ascending coarse degree (reference :1286-1288)
+        visit = np.argsort(nxt.sum(axis=0), kind="stable")
+        cur = nxt
+
+    # Binary-tree orderings, coarsest -> finest. At the coarsest level the
+    # order is the identity; walking down, each coarse slot expands to its
+    # <=2 children, topped up with fresh fake ids so every slot has exactly 2.
+    orders: list[list[int]] = [list(range(fine[-1].shape[0]))]
+    for parent in reversed(parents):
+        n_real = len(parent)
+        fake = n_real
+        children: list[list[int]] = [[] for _ in range(int(parent.max()) + 1)]
+        for node, p in enumerate(parent):
+            children[p].append(node)
+        layer: list[int] = []
+        for slot in orders[-1]:
+            kids = children[slot] if slot < len(children) else []
+            while len(kids) < 2:
+                kids = kids + [fake]
+                fake += 1
+            layer.extend(kids)
+        orders.append(layer)
+    orders.reverse()  # orders[l] now belongs to level l
+
+    graphs: list[np.ndarray] = []
+    for lvl, g in enumerate(fine):
+        order = np.asarray(orders[lvl])
+        n = g.shape[0]
+        out = np.zeros((len(order), len(order)))
+        slots = np.nonzero(order < n)[0]  # fake slots stay isolated zeros
+        out[np.ix_(slots, slots)] = g[np.ix_(order[slots], order[slots])]
+        graphs.append(out)
+    return graphs, orders[0]
+
+
+def perm_coarsening(x: np.ndarray, order: list[int] | np.ndarray,
+                    node_axis: int = -1) -> np.ndarray:
+    """Reorder (and fake-pad with zeros) a signal's node axis to match a
+    ``coarsen`` ordering (reference ``permCoarsening``, graphTools.py:1420).
+    Fake slots stay 0 so stride-2 max pooling picks the real singleton."""
+    order = np.asarray(order)
+    x = np.moveaxis(np.asarray(x), node_axis, -1)
+    n = x.shape[-1]
+    out = np.zeros(x.shape[:-1] + (len(order),), x.dtype)
+    real = order < n
+    out[..., np.nonzero(real)[0]] = x[..., order[real]]
+    return np.moveaxis(out, -1, node_axis)
 
 
 class Graph:

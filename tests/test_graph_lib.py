@@ -217,3 +217,52 @@ def test_edge_fail_sampling_keeps_symmetry(rng):
     assert (out <= w).all()
     out0 = edge_fail_sampling(w, 0.0, rng)
     np.testing.assert_array_equal(out0, w)
+
+
+def test_coarsen_binary_tree_structure(rng):
+    """coarsen: cluster sizes <=2, weight conservation, stride-2 tree."""
+    w = gt.create_graph("geometric", 14, rng, radius=0.45)
+    graphs, order = gt.coarsen(w, levels=2, rng=rng)
+    assert len(graphs) == 3
+    m0 = len(order)
+    # level sizes halve exactly and the finest covers all real nodes
+    assert m0 % 4 == 0
+    assert graphs[0].shape == (m0, m0)
+    assert graphs[1].shape == (m0 // 2, m0 // 2)
+    assert graphs[2].shape == (m0 // 4, m0 // 4)
+    assert sorted(o for o in order if o < 14) == list(range(14))
+    # symmetry preserved at every level
+    for g in graphs:
+        np.testing.assert_allclose(g, g.T)
+    # weight conservation: contracting level-0 pairs reproduces level 1
+    pool = np.zeros((m0 // 2, m0))
+    pool[np.arange(m0) // 2, np.arange(m0)] = 1.0
+    contracted = pool @ graphs[0] @ pool.T
+    np.fill_diagonal(contracted, 0.0)
+    np.testing.assert_allclose(contracted, graphs[1], atol=1e-12)
+
+
+def test_coarsen_path_graph_pairs_neighbors():
+    """A 4-path coarsens to a 2-node graph keeping the middle edge weight."""
+    w = np.zeros((4, 4))
+    for i in range(3):
+        w[i, i + 1] = w[i + 1, i] = 1.0
+    graphs, order = gt.coarsen(w, levels=1,
+                               rng=np.random.RandomState(0))
+    # 4 real nodes, perfect matching: no fakes, coarse graph has 2 nodes
+    assert len(order) == 4 and sorted(order) == list(range(4))
+    assert graphs[1].shape == (2, 2)
+    assert graphs[1][0, 1] > 0  # the cut edge survives contraction
+
+
+def test_perm_coarsening_zero_pads_fakes(rng):
+    w = gt.create_graph("geometric", 9, rng, radius=0.5)
+    graphs, order = gt.coarsen(w, levels=1, rng=rng)
+    x = rng.randn(3, 5, 9)  # [B, F, N]
+    xp = gt.perm_coarsening(x, order, node_axis=-1)
+    assert xp.shape == (3, 5, len(order))
+    for k, o in enumerate(order):
+        if o < 9:
+            np.testing.assert_allclose(xp[..., k], x[..., o])
+        else:
+            np.testing.assert_allclose(xp[..., k], 0.0)

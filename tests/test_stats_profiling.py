@@ -79,3 +79,34 @@ def test_metrics_jsonl_roundtrip(tmp_path):
     assert len(load_metrics_jsonl(p, "test_rollout")) == 1
     sa = StatisticAnalysis()
     assert sa.add_run_dir(tmp_path, num_agents=10, k=3, map_w=20) == 1
+
+
+def test_metrics_rich_summaries(tmp_path):
+    """Visualizer-parity surface: image/figure/text/histogram summaries
+    land in the TB event stream (or no-op cleanly without TB)."""
+    from gnn_pathplanning_tpu.train.metrics import MetricsLogger
+
+    logger = MetricsLogger(tmp_path / "m.jsonl", tensorboard=True)
+    rng = np.random.RandomState(0)
+    logger.log_image("viz/map", 0, rng.rand(8, 8))
+    logger.log_text("viz/note", 0, "hello")
+    logger.log_histogram("viz/h", 0, rng.randn(64))
+    logger.log_param_histograms(0, {"enc": {"w": rng.randn(4, 4)}})
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        ax.plot([0, 1], [1, 0])
+        logger.log_figure("viz/fig", 0, fig)
+        plt.close(fig)
+    except ImportError:
+        pass
+    if logger._tb is not None:
+        tb_dir = tmp_path / "tb"
+        assert any(tb_dir.glob("events*"))
+    # disabled logger: all rich calls are no-ops
+    off = MetricsLogger(tmp_path / "m2.jsonl", tensorboard=False)
+    off.log_image("x", 0, rng.rand(4, 4))
+    off.log_figure("x", 0, None)
+    off.log_histogram("x", 0, rng.randn(8))
