@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--online_expert", action="store_true", default=None)
     p.add_argument("--data_augment", action="store_true", default=None,
                    help="D4 symmetry augmentation of training samples")
+    p.add_argument("--deadlock_break", type=int, default=None,
+                   help="opt-in decentralized stall escape: agents stuck "
+                        ">= K steps take their next-best action (0 = off, "
+                        "reference semantics)")
     p.add_argument("--tta", action="store_true", default=None,
                    help="D4 test-time ensembling during rollout eval")
     p.add_argument("--log_anime", action="store_true", default=None,
@@ -106,7 +110,8 @@ def main(argv=None) -> int:
         max_epoch=cfg.max_epoch, batch_size=cfg.batch_size,
         validate_every=cfg.validate_every, comm_radius=cfg.commR,
         rate_maxstep=cfg.rate_maxstep, num_valid_rollouts=cfg.num_validset,
-        seed=cfg.seed, augment=cfg.data_augment, tta=cfg.tta)
+        seed=cfg.seed, augment=cfg.data_augment, tta=cfg.tta,
+        deadlock_break=cfg.deadlock_break)
     model = DCPNet(DCPConfig(num_taps=cfg.nGraphFilterTaps))
 
     if cfg.mode == "train":

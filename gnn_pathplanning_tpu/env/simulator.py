@@ -254,7 +254,8 @@ def make_policy(apply_fn: Callable, variables) -> Callable:
 def rollout_batch(policy: Callable, cases: SimCase, max_steps: int,
                   comm_radius: float, key: jax.Array,
                   rate_maxstep: int = 2, record_paths: bool = False,
-                  winner: str = "random", tta: bool = False) -> Rollout:
+                  winner: str = "random", tta: bool = False,
+                  deadlock_break: int = 0) -> Rollout:
     """Run a batch of closed-loop rollouts under one jit-able program.
 
     Args:
@@ -275,6 +276,14 @@ def rollout_batch(policy: Callable, cases: SimCase, max_steps: int,
         policy applied to all 8 transformed worlds with the action labels
         permuted back (ops/augment.py). 8x forward cost; square maps only.
         The GSO is distance-based and therefore invariant.
+      deadlock_break: opt-in decentralized stall escape — a framework-native
+        addition over the reference (whose shield-stalled rollouts simply run
+        to maxstep, multirobotsim :649-666). An agent that has not moved for
+        ``deadlock_break`` consecutive steps while off-goal masks its top-m
+        action choices (m escalates 1->3 every further ``deadlock_break``
+        stalled steps), forcing the next-best action and breaking symmetric
+        shield standoffs. Each agent uses only its own history — the rule
+        stays decentralized. 0 disables (reference semantics).
 
     Returns:
       Rollout with batched metrics (leading axis B).
@@ -291,7 +300,7 @@ def rollout_batch(policy: Callable, cases: SimCase, max_steps: int,
         cases.starts.astype(jnp.float32), jnp.float32(comm_radius))
 
     def scan_step(carry, step_key):
-        st = carry
+        st, stuck = carry
         adj = jax.vmap(adjacency_from_positions)(
             st.pos.astype(jnp.float32), radius)
         gso = jax.vmap(normalize_adjacency)(adj)
@@ -319,7 +328,16 @@ def rollout_batch(policy: Callable, cases: SimCase, max_steps: int,
         else:
             obs = jax.vmap(render_fov)(cases.grid, st.pos, cases.goals)
             logits = policy(obs, gso)
+        if deadlock_break > 0:
+            # Mask the top-m actions of agents stalled >= deadlock_break
+            # steps (m escalates with stall length), forcing next-best moves.
+            m = jnp.where(stuck >= deadlock_break,
+                          jnp.clip(stuck // deadlock_break, 1, 3), 0)
+            order = jnp.argsort(-logits, axis=-1)
+            rank = jnp.argsort(order, axis=-1)
+            logits = jnp.where(rank < m[..., None], -jnp.inf, logits)
         keys = jax.random.split(step_key, st.pos.shape[0])
+        prev_pos = st.pos
         if winner == "index":
             b, n = st.pos.shape[:2]
             pri = jnp.broadcast_to(jnp.arange(n, dtype=jnp.float32), (b, n))
@@ -328,11 +346,15 @@ def rollout_batch(policy: Callable, cases: SimCase, max_steps: int,
         else:
             st = jax.vmap(step_state, in_axes=(0, 0, 0, 0, 0))(
                 st, logits, cases, maxstep, keys)
+        moved = jnp.any(st.pos != prev_pos, axis=-1)            # [B, N]
+        on_goal = jnp.all(st.pos == cases.goals, axis=-1)
+        stuck = jnp.where(moved | on_goal, 0, stuck + 1)
         out = st.pos if record_paths else None
-        return st, out
+        return (st, stuck), out
 
     keys = jax.random.split(key, max_steps)
-    state, path_tail = jax.lax.scan(scan_step, state, keys)
+    stuck0 = jnp.zeros(state.pos.shape[:2], jnp.int32)
+    (state, _), path_tail = jax.lax.scan(scan_step, (state, stuck0), keys)
 
     paths = None
     if record_paths:

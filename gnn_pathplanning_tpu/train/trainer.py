@@ -62,6 +62,9 @@ class TrainConfig:
     # D4 test-time ensembling in rollout validation (env/simulator.py
     # rollout_batch tta=...) — framework-native, 8x eval forward cost.
     tta: bool = False
+    # Decentralized stall escape in rollouts (env/simulator.py rollout_batch
+    # deadlock_break=...) — framework-native; 0 = reference semantics.
+    deadlock_break: int = 0
 
 
 def cosine_lr(cfg: TrainConfig, epoch) -> jax.Array:
@@ -313,7 +316,8 @@ class Trainer:
             out = rollout_batch(self.policy(), cases, max_steps,
                                 self.cfg.comm_radius,
                                 jax.random.PRNGKey(self.cfg.seed),
-                                self.cfg.rate_maxstep, tta=self.cfg.tta)
+                                self.cfg.rate_maxstep, tta=self.cfg.tta,
+                                deadlock_break=self.cfg.deadlock_break)
             jax.block_until_ready(out.metrics.all_reached)
         rec = PerformanceRecorder(n)
         rec.update_from_rollout(out.metrics)

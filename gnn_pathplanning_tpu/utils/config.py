@@ -55,6 +55,7 @@ DEFAULTS = Config(
     online_expert=False,
     data_augment=False,
     tta=False,
+    deadlock_break=0,
     seed=1337,
     data_root="data",
     save_root="experiments",

@@ -226,3 +226,55 @@ def test_shield_invariants_random(rng):
         # each agent: proposal or revert
         for i in range(n):
             assert (nxt[i] == prop[i]).all() or (nxt[i] == cur[i]).all()
+
+
+def _fixed_pref_policy(prefs):
+    """Policy ignoring observations: per-agent fixed action preferences."""
+    base = jnp.asarray(np.asarray(prefs, np.float32))
+
+    def policy(obs, gso):
+        b = obs.shape[0]
+        return jnp.tile(base[None], (b, 1, 1))
+    return policy
+
+
+def test_deadlock_break_escapes_obstacle_stall():
+    """An agent forever proposing a blocked move escapes with the opt-in
+    deadlock_break (next-best action after k stalled steps); without it the
+    reference semantics hold (it stays put to maxstep)."""
+    grid = np.zeros((4, 4), np.float32)
+    grid[1, 1] = 1.0  # wall directly 'up' of the agent
+    # prefers up (blocked by the wall), then left
+    policy = _fixed_pref_policy([[10.0, 5.0, 0.0, 0.0, -5.0]])
+    case = _case(grid, [[2, 1]], [[0, 1]], mp=5, ft=5)
+    cases = jax.tree.map(lambda x: x[None], case)
+
+    off = rollout_batch(policy, cases, max_steps=10, comm_radius=6.0,
+                        key=KEY)
+    np.testing.assert_array_equal(np.asarray(off.final_pos[0]), [[2, 1]])
+
+    on = rollout_batch(policy, cases, max_steps=10, comm_radius=6.0,
+                       key=KEY, deadlock_break=2)
+    assert not np.array_equal(np.asarray(on.final_pos[0]), [[2, 1]])
+
+
+def test_deadlock_break_escapes_swap_standoff():
+    """Two agents in a persistent head-on swap standoff dodge once the
+    stall counter trips; with deadlock_break=0 they are frozen forever."""
+    grid = np.zeros((5, 5), np.float32)
+    # agent0 at (1,1) wants right (y+1); agent1 at (1,2) wants left (y-1);
+    # both dodge down (x+1) as second choice.
+    policy = _fixed_pref_policy([[0.0, -1.0, 5.0, 10.0, -5.0],
+                                 [0.0, 10.0, 5.0, -1.0, -5.0]])
+    case = _case(grid, [[1, 1], [1, 2]], [[1, 4], [1, 0]], mp=6, ft=12)
+    cases = jax.tree.map(lambda x: x[None], case)
+
+    off = rollout_batch(policy, cases, max_steps=12, comm_radius=6.0,
+                        key=KEY)
+    np.testing.assert_array_equal(np.asarray(off.final_pos[0]),
+                                  [[1, 1], [1, 2]])
+
+    on = rollout_batch(policy, cases, max_steps=12, comm_radius=6.0,
+                       key=KEY, deadlock_break=2)
+    assert not np.array_equal(np.asarray(on.final_pos[0]),
+                              [[1, 1], [1, 2]])
