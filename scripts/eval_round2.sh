@@ -43,3 +43,19 @@ python -m gnn_pathplanning_tpu.cli.main --mode test --test_checkpoint "$CKPT" \
 python -m gnn_pathplanning_tpu.cli.main --mode test --test_checkpoint "$CKPT" \
     --map_w 40 --map_h 40 --num_agents 64 --commR 11 --num_testset 20 \
     --map_type random "${COMMON[@]}" "$@"
+
+# Framework-native opt-in: decentralized deadlock-break (k=3, chosen on
+# valid2 — scripts/sweep_deadlock_break.py). Reported SEPARATELY from the
+# reference-semantics numbers above.
+python -m gnn_pathplanning_tpu.cli.main configs/dcp_onlineExpert.json \
+    --mode test --test_checkpoint "$CKPT" --num_testset 4440 \
+    --deadlock_break 3 "${COMMON[@]}" "$@"
+python -m gnn_pathplanning_tpu.cli.main --mode test --test_checkpoint "$CKPT" \
+    --map_w 28 --map_h 28 --num_agents 20 --num_testset 500 \
+    --deadlock_break 3 "${COMMON[@]}" "$@"
+python -m gnn_pathplanning_tpu.cli.main --mode test --test_checkpoint "$CKPT" \
+    --map_w 40 --map_h 40 --num_agents 40 --num_testset 200 \
+    --deadlock_break 3 "${COMMON[@]}" "$@"
+python -m gnn_pathplanning_tpu.cli.main --mode test --test_checkpoint "$CKPT" \
+    --map_w 40 --map_h 40 --num_agents 64 --commR 11 --num_testset 20 \
+    --map_type random --deadlock_break 3 "${COMMON[@]}" "$@"

@@ -12,7 +12,7 @@ LEG1="${1:-experiments_r2/dcp_map20x20_rho1_10Agent/K3_HS0/1787138167}"
 PRETRAINED="$LEG1/checkpoints/model_selected.msgpack"
 [ -f "$PRETRAINED" ] || PRETRAINED="$LEG1/checkpoints/model_best.msgpack"
 cd /root/repo
-export PYTHONPATH=/root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
 
 # data must exist (containers wipe gitignored dirs)
 [ -d data4/map20x20_density_p1/10_Agent/train ] || {

@@ -44,7 +44,14 @@ while true; do
   if ! kill -0 "$PID" 2>/dev/null; then
     log "pid $PID exited before epoch $FINAL_EPOCH; relaunching"
   else
-    age=$(( $(date +%s) - $(stat -c %Y "$METRICS" 2>/dev/null || echo 0) ))
+    # Heartbeat = metrics.jsonl mtime; before the first write (cold compile
+    # takes minutes) fall back to the trainer's own start time so a fresh
+    # launch is never "stale" (this killed a brand-new run once: the old
+    # `|| echo 0` made age = epoch seconds).
+    hb=$(stat -c %Y "$METRICS" 2>/dev/null \
+         || stat -c %Y "/proc/$PID" 2>/dev/null \
+         || date +%s)
+    age=$(( $(date +%s) - hb ))
     if [ "$age" -lt "$STALE" ]; then
       sleep 60
       continue
