@@ -18,6 +18,14 @@ PID="$1"; EXP="$2"; FINAL_EPOCH="$3"; STALE="$4"
 shift 4
 [ "$1" = "--" ] && shift
 RESUME=("$@")
+# A resume command that lost its flags (shell quoting, subshell var scope)
+# relaunches the DEFAULT config against the wrong data root and the loop
+# kills healthy trainers forever. Refuse to start without the essentials.
+case " ${RESUME[*]} " in
+  *" --mode train "*|*"--con_train"*) : ;;
+  *) echo "watchdog: resume command lacks --mode train/--con_train:" \
+         "${RESUME[*]}" >&2; exit 2 ;;
+esac
 METRICS="$EXP/metrics.jsonl"
 cd /root/repo
 
@@ -44,13 +52,16 @@ while true; do
   if ! kill -0 "$PID" 2>/dev/null; then
     log "pid $PID exited before epoch $FINAL_EPOCH; relaunching"
   else
-    # Heartbeat = metrics.jsonl mtime; before the first write (cold compile
-    # takes minutes) fall back to the trainer's own start time so a fresh
-    # launch is never "stale" (this killed a brand-new run once: the old
-    # `|| echo 0` made age = epoch seconds).
-    hb=$(stat -c %Y "$METRICS" 2>/dev/null \
-         || stat -c %Y "/proc/$PID" 2>/dev/null \
-         || date +%s)
+    # Heartbeat = newest of metrics.jsonl mtime and the trainer's own start
+    # time. On a RESUMED run metrics.jsonl already exists with an old mtime
+    # (git checkout resets it), so the file alone reads "stale" the moment a
+    # fresh trainer starts — take max() with /proc/$PID so a process younger
+    # than STALE is never killed mid-cold-compile (this killed a resumed run
+    # once: 2026-08-20, watchdog log "stale 4432s" 20 s after launch).
+    hb_m=$(stat -c %Y "$METRICS" 2>/dev/null || echo 0)
+    hb_p=$(stat -c %Y "/proc/$PID" 2>/dev/null || echo 0)
+    hb=$(( hb_m > hb_p ? hb_m : hb_p ))
+    [ "$hb" -eq 0 ] && hb=$(date +%s)
     age=$(( $(date +%s) - hb ))
     if [ "$age" -lt "$STALE" ]; then
       sleep 60
