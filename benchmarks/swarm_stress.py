@@ -98,8 +98,14 @@ def main() -> int:
             jax.block_until_ready(out.paths)
             ts.append(time.perf_counter() - t0)
         dt = min(ts)
+        # Shield fixed-point stats: the early-exit while_loop converges in
+        # a handful of rounds in practice (vs the reference's fixed N+1
+        # O(N^2) rounds — the old asymptotic ceiling of the swarm story).
+        rounds = np.asarray(out.shield_rounds)
         return {"path": path, "seconds": dt,
-                "agent_steps_per_s": n * steps / dt}
+                "agent_steps_per_s": n * steps / dt,
+                "shield_rounds_max": int(rounds.max()),
+                "shield_rounds_mean": float(rounds.mean())}
 
     rows = []
     for path in args.paths:

@@ -81,6 +81,7 @@ class SimState(NamedTuple):
     predict_collision: jax.Array  # scalar bool — any shield/edge/obstacle hit
     move_collision: jax.Array  # scalar bool — unresolved collision (shouldn't happen)
     step: jax.Array            # scalar int32 — completed steps (cs of last move)
+    shield_rounds: jax.Array   # scalar int32 — max shield fixed-point rounds seen
 
 
 class RolloutMetrics(NamedTuple):
@@ -98,6 +99,7 @@ class RolloutMetrics(NamedTuple):
     move_collision: jax.Array
     comm_radius: jax.Array
     steps: jax.Array
+    shield_rounds: jax.Array  # max shield fixed-point rounds over the rollout
 
 
 class Rollout(NamedTuple):
@@ -121,8 +123,18 @@ def collision_shield(cur: jax.Array, prop: jax.Array, key: jax.Array,
         with its ``random.choice`` pinned to the highest agent index).
 
     Returns:
-      (next, shielded, unresolved): final positions, whether any agent was
-      stopped by shielding, and whether conflicts remain (diagnostic).
+      (next, shielded, unresolved, rounds): final positions, whether any
+      agent was stopped by shielding, whether conflicts remain (diagnostic),
+      and how many resolution rounds ran before the fixed point.
+
+    The fixed point is reached with an early-exit ``lax.while_loop`` on "any
+    conflict remains" instead of the reference's unconditional N-round loop
+    (multirobotsim :649-666): one round is O(N^2), and in practice conflicts
+    resolve in <=3 rounds, so at swarm scale the early exit turns an O(N^3)
+    step into ~O(N^2).  A static cap of N+1 rounds bounds the loop exactly
+    where the reference's did; ``round_fn`` is idempotent at a conflict-free
+    state, so the result is identical to the old fixed-trip-count loop
+    (rollouts are never differentiated, so ``while_loop`` is safe here).
     """
     n = cur.shape[0]
     if pri is None:
@@ -132,7 +144,13 @@ def collision_shield(cur: jax.Array, prop: jax.Array, key: jax.Array,
     def same_cell(a, b):
         return jnp.all(a[:, None, :] == b[None, :, :], axis=-1)
 
-    def round_fn(_, prop):
+    def conflicts_remain(prop):
+        same = same_cell(prop, prop)
+        vertex = jnp.any(jnp.sum(same, axis=-1) > 1)
+        into_cur = same_cell(prop, cur) & ~eye
+        return vertex | jnp.any(into_cur & into_cur.T)
+
+    def round_fn(prop):
         stopped = jnp.all(prop == cur, axis=-1)              # [N]
         same = same_cell(prop, prop)                          # [N, N]
         group_size = jnp.sum(same, axis=-1)
@@ -150,13 +168,18 @@ def collision_shield(cur: jax.Array, prop: jax.Array, key: jax.Array,
         prop = jnp.where(swap_i[:, None], cur, prop)
         return prop
 
-    nxt = jax.lax.fori_loop(0, n + 1, round_fn, prop)
+    def cond(carry):
+        i, p = carry
+        return (i < n + 1) & conflicts_remain(p)
+
+    def body(carry):
+        i, p = carry
+        return i + 1, round_fn(p)
+
+    rounds, nxt = jax.lax.while_loop(cond, body, (jnp.int32(0), prop))
     shielded = jnp.any(jnp.any(nxt != prop, axis=-1))
-    same = same_cell(nxt, nxt)
-    vertex_left = jnp.any(jnp.sum(same, axis=-1) > 1)
-    into_cur = same_cell(nxt, cur) & ~eye
-    unresolved = vertex_left | jnp.any(into_cur & into_cur.T)
-    return nxt, shielded, unresolved
+    unresolved = conflicts_remain(nxt)
+    return nxt, shielded, unresolved, rounds
 
 
 def step_state(state: SimState, logits: jax.Array, case: SimCase,
@@ -180,7 +203,8 @@ def step_state(state: SimState, logits: jax.Array, case: SimCase,
     invalid = oob | hit_obstacle
     prop = jnp.where(invalid[:, None], state.pos, prop)
 
-    nxt, shielded, unresolved = collision_shield(state.pos, prop, key, pri)
+    nxt, shielded, unresolved, rounds = collision_shield(
+        state.pos, prop, key, pri)
     predict_collision = state.predict_collision | (
         active & (jnp.any(invalid) | shielded))
     move_collision = state.move_collision | (active & unresolved)
@@ -202,7 +226,9 @@ def step_state(state: SimState, logits: jax.Array, case: SimCase,
         pos=pos, reached=reached, start_step=start_step, end_step=end_step,
         done=done, predict_collision=predict_collision,
         move_collision=move_collision,
-        step=jnp.where(active, cs, state.step))
+        step=jnp.where(active, cs, state.step),
+        shield_rounds=jnp.maximum(state.shield_rounds,
+                                  jnp.where(active, rounds, 0)))
 
 
 def _init_state(case: SimCase) -> SimState:
@@ -215,7 +241,8 @@ def _init_state(case: SimCase) -> SimState:
         done=jnp.asarray(False),
         predict_collision=jnp.asarray(False),
         move_collision=jnp.asarray(False),
-        step=jnp.asarray(0, jnp.int32))
+        step=jnp.asarray(0, jnp.int32),
+        shield_rounds=jnp.asarray(0, jnp.int32))
 
 
 def _finalize(state: SimState, case: SimCase, radius: jax.Array,
@@ -239,7 +266,8 @@ def _finalize(state: SimState, case: SimCase, radius: jax.Array,
         predict_collision=state.predict_collision,
         move_collision=state.move_collision,
         comm_radius=radius,
-        steps=state.step)
+        steps=state.step,
+        shield_rounds=state.shield_rounds)
     return Rollout(metrics=metrics, final_pos=final_pos,
                    reached=state.reached, paths=paths)
 

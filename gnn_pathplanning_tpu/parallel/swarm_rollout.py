@@ -140,6 +140,7 @@ class SwarmRollout(NamedTuple):
     final_pos: jax.Array   # [N, 2]
     reached: jax.Array     # [N] bool (latched)
     paths: jax.Array       # [T+1, N, 2]
+    shield_rounds: jax.Array  # [T] int32: shield fixed-point rounds per step
 
 
 class HaloRollout(NamedTuple):
@@ -147,6 +148,7 @@ class HaloRollout(NamedTuple):
     reached: jax.Array     # [N] bool (latched)
     paths: jax.Array       # [T+1, N, 2]
     exact: jax.Array       # [T] bool: strip invariant held at each step
+    shield_rounds: jax.Array  # [T] int32: shield fixed-point rounds per step
 
 
 def swarm_rollout_halo(mesh: Mesh, variables, grid: jax.Array,
@@ -155,7 +157,8 @@ def swarm_rollout_halo(mesh: Mesh, variables, grid: jax.Array,
                        axis: str = "agents",
                        geometric: bool = False,
                        cap: int | None = None,
-                       interpret: bool = False) -> HaloRollout:
+                       interpret: bool = False,
+                       on_inexact: str = "fallback") -> HaloRollout:
     """Closed-loop rollout with *constant per-chip collective volume*.
 
     Every step re-partitions agents into x-sorted strips (ownership is
@@ -171,9 +174,26 @@ def swarm_rollout_halo(mesh: Mesh, variables, grid: jax.Array,
     decisions are bit-identical to the dense path; action logits match up
     to summation-order rounding whenever the strip invariant (every strip
     wider than the comm radius) holds.  ``exact[t]`` reports a sufficient
-    per-step check of that invariant (consecutive-strip x-gaps >= r), for
-    observability when agents crowd at swarm scale.
+    per-step check of that invariant (consecutive-strip x-gaps >= r).
+
+    ``on_inexact`` gates what happens on a step where that check fails
+    (agents crowding can silently break neighbor-only exactness):
+
+    - ``"fallback"`` (default): the step's K-hop exchange routes through
+      the exact all_gather path (``gso_cols_body``+``graph_filter_body``,
+      or ``geometric_filter_body`` when ``geometric=True``) via
+      ``lax.cond`` — correct trajectories always, at that step's cost
+      rising to the all_gather volume.  The check is replicated (computed
+      from the gathered global positions with identical arithmetic on
+      every chip), so all chips take the same branch and the collectives
+      inside the cond stay uniform.
+    - ``"flag"``: previous behavior — halo exchange unconditionally, the
+      caller must inspect ``exact`` (kept for benchmarking the pure-halo
+      path).
     """
+    if on_inexact not in ("fallback", "flag"):
+        raise ValueError(f"on_inexact must be 'fallback' or 'flag', "
+                         f"got {on_inexact!r}")
     taps, gfl_bias = dcp_gfl(variables)
     grid = jnp.asarray(grid, jnp.float32)
     w, h = grid.shape
@@ -209,10 +229,30 @@ def swarm_rollout_halo(mesh: Mesh, variables, grid: jax.Array,
             obs_loc = render_fov(grid, pos_loc, goals_loc,
                                  occupancy_pos=pos_full)
             feat_loc = dcp_encode(variables, obs_loc)
-            y_loc = jax.nn.relu(halo_filter_body(
-                feat_loc, pos_loc.astype(jnp.float32), r, taps, gfl_bias,
-                axis, d, geometric=geometric, cap=cap,
-                interpret=interpret))
+
+            def halo_branch(feat, ploc):
+                return halo_filter_body(
+                    feat, ploc.astype(jnp.float32), r, taps, gfl_bias,
+                    axis, d, geometric=geometric, cap=cap,
+                    interpret=interpret)
+
+            def exact_branch(feat, ploc):
+                # Exact regardless of strip geometry: senders are the whole
+                # swarm. Strip order is preserved end-to-end, so the
+                # self-loop bookkeeping in gso_cols_body stays consistent.
+                if geometric:
+                    return geometric_filter_body(
+                        feat, ploc, pos_full, r, taps, gfl_bias, axis,
+                        interpret=interpret, cap=cap)
+                s_cols = gso_cols_body(ploc.astype(jnp.float32), r, axis)
+                return graph_filter_body(feat, s_cols, taps, gfl_bias, axis)
+
+            if on_inexact == "fallback" and d > 2:
+                pre = jax.lax.cond(exact, halo_branch, exact_branch,
+                                   feat_loc, pos_loc)
+            else:
+                pre = halo_branch(feat_loc, pos_loc)
+            y_loc = jax.nn.relu(pre)
             logits_loc = dcp_act(variables, y_loc)
 
             actions = jnp.argmax(logits_loc, axis=-1)
@@ -226,40 +266,41 @@ def swarm_rollout_halo(mesh: Mesh, variables, grid: jax.Array,
             # scatter proposals back to identity order ([N, 2] ints only)
             prop_all = jax.lax.all_gather(prop, axis, tiled=True)   # [N, 2]
             prop_full = jnp.zeros_like(pos_full).at[ids].set(prop_all)
-            nxt_full, _, _ = collision_shield(pos_full, prop_full, step_key)
+            nxt_full, _, _, rounds = collision_shield(pos_full, prop_full,
+                                                      step_key)
             reached_full = reached_full | jnp.all(nxt_full == goals_full,
                                                   axis=-1)
             # per-chip identity-order slice for the paths output
             path_slice = jax.lax.dynamic_slice_in_dim(nxt_full,
                                                       shard * n_loc, n_loc)
-            return (nxt_full, reached_full), (path_slice, exact)
+            return (nxt_full, reached_full), (path_slice, exact, rounds)
 
         # the carry passes through all_gather-derived values, which the vma
         # system types as axis-varying — the init must match
         init = (jax.lax.pcast(starts_full.astype(jnp.int32), (axis,),
                               to="varying"),
                 jax.lax.pcast(jnp.zeros((n,), bool), (axis,), to="varying"))
-        (pos_full, reached_full), (path_loc, exact) = jax.lax.scan(
+        (pos_full, reached_full), (path_loc, exact, rounds) = jax.lax.scan(
             step_fn, init, keys)
         final_loc = jax.lax.dynamic_slice_in_dim(pos_full, shard * n_loc,
                                                  n_loc)
         reached_loc = jax.lax.dynamic_slice_in_dim(reached_full,
                                                    shard * n_loc, n_loc)
-        # exact is identical on every shard but typed varying; emit one row
-        # per shard and keep row 0 outside
-        return final_loc, reached_loc, path_loc, exact[None]
+        # exact/rounds are identical on every shard but typed varying; emit
+        # one row per shard and keep row 0 outside
+        return final_loc, reached_loc, path_loc, exact[None], rounds[None]
 
-    final_pos, reached, path_tail, exact = shard_map(
+    final_pos, reached, path_tail, exact, rounds = shard_map(
         body, mesh=mesh,
         in_specs=(P(), P()),
         out_specs=(P(axis, None), P(axis), P(None, axis, None),
-                   P(axis, None)),
+                   P(axis, None), P(axis, None)),
         check_vma=not geometric)(
             jnp.asarray(starts, jnp.int32), jnp.asarray(goals, jnp.int32))
     paths = jnp.concatenate([jnp.asarray(starts, jnp.int32)[None],
                              path_tail], axis=0)
     return HaloRollout(final_pos=final_pos, reached=reached, paths=paths,
-                       exact=exact[0])
+                       exact=exact[0], shield_rounds=rounds[0])
 
 
 def swarm_rollout(mesh: Mesh, variables, grid: jax.Array, starts: jax.Array,
@@ -310,29 +351,35 @@ def swarm_rollout(mesh: Mesh, variables, grid: jax.Array, starts: jax.Array,
             prop = jnp.where((oob | blocked)[:, None], pos_loc, prop)
 
             prop_full = jax.lax.all_gather(prop, axis, tiled=True)
-            nxt_full, _, _ = collision_shield(pos_full, prop_full, step_key)
+            nxt_full, _, _, rounds = collision_shield(pos_full, prop_full,
+                                                      step_key)
             nxt_loc = jax.lax.dynamic_slice_in_dim(nxt_full, shard * n_loc,
                                                    n_loc)
             reached_loc = reached_loc | jnp.all(nxt_loc == goals_loc, axis=-1)
-            return (nxt_loc, reached_loc), nxt_loc
+            return (nxt_loc, reached_loc), (nxt_loc, rounds)
 
         # the fresh zeros carry must be marked axis-varying to match the
         # per-shard outputs of the scan body
         init = (starts_loc.astype(jnp.int32),
                 jax.lax.pcast(jnp.zeros((n_loc,), bool), (axis,), to="varying"))
-        (pos_loc, reached_loc), path_loc = jax.lax.scan(step_fn, init, keys)
-        return pos_loc, reached_loc, path_loc
+        (pos_loc, reached_loc), (path_loc, rounds) = jax.lax.scan(
+            step_fn, init, keys)
+        # rounds is identical on every shard but typed varying; emit one row
+        # per shard and keep row 0 outside (same pattern as halo's `exact`).
+        return pos_loc, reached_loc, path_loc, rounds[None]
 
     # check_vma stays on for the dense path (regression guard); the pallas
     # interpreter/lowering cannot yet mix varying operands with invariant
     # grid indices, so the geometric path disables the check (the JAX
     #-recommended workaround) — pcast degrades to a no-op there.
-    final_pos, reached, path_tail = shard_map(
+    final_pos, reached, path_tail, rounds = shard_map(
         body, mesh=mesh,
         in_specs=(P(axis, None), P(axis, None)),
-        out_specs=(P(axis, None), P(axis), P(None, axis, None)),
+        out_specs=(P(axis, None), P(axis), P(None, axis, None),
+                   P(axis, None)),
         check_vma=not geometric)(
             jnp.asarray(starts, jnp.int32), jnp.asarray(goals, jnp.int32))
     paths = jnp.concatenate([jnp.asarray(starts, jnp.int32)[None],
                              path_tail], axis=0)
-    return SwarmRollout(final_pos=final_pos, reached=reached, paths=paths)
+    return SwarmRollout(final_pos=final_pos, reached=reached, paths=paths,
+                        shield_rounds=rounds[0])

@@ -11,7 +11,7 @@ KEY = jax.random.PRNGKey(7)
 
 
 def shield(cur, prop, key=KEY):
-    nxt, shielded, unresolved = collision_shield(
+    nxt, shielded, unresolved, _ = collision_shield(
         jnp.array(cur, jnp.int32), jnp.array(prop, jnp.int32), key)
     return np.asarray(nxt), bool(shielded), bool(unresolved)
 
@@ -212,8 +212,9 @@ def test_shield_invariants_random(rng):
         cur = np.stack([cells // 6, cells % 6], -1).astype(np.int32)
         deltas = np.array([[-1, 0], [0, -1], [1, 0], [0, 1], [0, 0]])
         prop = cur + deltas[rng.randint(0, 5, size=n)]
-        nxt, shielded, unresolved = collision_shield(
+        nxt, shielded, unresolved, rounds = collision_shield(
             jnp.array(cur), jnp.array(prop), jax.random.PRNGKey(trial))
+        assert 0 <= int(rounds) <= n + 1
         nxt = np.asarray(nxt)
         assert not bool(unresolved)
         # no vertex conflicts

@@ -224,3 +224,43 @@ def test_swarm_rollout_halo_geometric_matches_dense_path(mesh, model_vars,
     assert bool(np.asarray(halo.exact).all())
     np.testing.assert_array_equal(np.asarray(halo.paths),
                                   np.asarray(dense.paths))
+
+
+def test_swarm_rollout_halo_inexact_gate(mesh, model_vars, rng):
+    """When agents crowd so strips are narrower than the comm radius, the
+    invariant check must trip — and the default on_inexact="fallback" must
+    keep trajectories exactly equal to the dense path anyway (the silent-
+    wrong-answer mode of the pure-halo exchange is gated off)."""
+    from gnn_pathplanning_tpu.parallel.swarm_rollout import swarm_rollout_halo
+    model, variables = model_vars
+    n = 32
+    grid = np.zeros((16, 16), np.float32)
+    # 8 tight x-columns of 4 agents: strip width 1 << radius 4, so agents
+    # 2+ strips apart are within the radius -> halo exactness is violated.
+    xs = np.arange(n) // 4
+    ys = (np.arange(n) % 4) * 3
+    starts = np.stack([xs, ys], -1).astype(np.int32)
+    goals = starts + rng.randint(-1, 2, (n, 2)).astype(np.int32)
+    goals = np.clip(goals, 0, 15).astype(np.int32)
+    steps, radius = 4, 4.0
+
+    dense = swarm_rollout(mesh, variables, grid, starts, goals, radius,
+                          steps, jax.random.PRNGKey(9))
+
+    flagged = swarm_rollout_halo(mesh, variables, grid, starts, goals,
+                                 radius, steps, jax.random.PRNGKey(9),
+                                 on_inexact="flag")
+    assert not bool(np.asarray(flagged.exact).all()), \
+        "test construction must break the strip invariant"
+
+    gated = swarm_rollout_halo(mesh, variables, grid, starts, goals,
+                               radius, steps, jax.random.PRNGKey(9),
+                               on_inexact="fallback")
+    np.testing.assert_array_equal(np.asarray(gated.paths),
+                                  np.asarray(dense.paths))
+    np.testing.assert_array_equal(np.asarray(gated.reached),
+                                  np.asarray(dense.reached))
+
+    with pytest.raises(ValueError):
+        swarm_rollout_halo(mesh, variables, grid, starts, goals, radius,
+                           steps, jax.random.PRNGKey(9), on_inexact="typo")
