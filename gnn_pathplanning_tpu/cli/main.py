@@ -70,15 +70,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--solver", type=str, default="ecbs",
                    choices=["ecbs", "cbs", "prioritized"])
     p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--cpu", action="store_true", default=False,
+                   help="force the CPU jax backend (this rig's "
+                        "sitecustomize pins the tunneled TPU; the env var "
+                        "does not work — only the post-import config "
+                        "switch does). Lets evals/smoke runs proceed "
+                        "during chip outages or alongside a training run")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from ..utils.config import load_config, process_config
     overrides = {k: v for k, v in vars(args).items()
                  if k not in ("config", "test_checkpoint", "pretrained",
-                              "ensemble_checkpoints",
+                              "ensemble_checkpoints", "cpu",
                               "num_maps", "cases_per_map", "solver",
                               "workers", "log_time_trained")}
     cfg = load_config(args.config, overrides)
@@ -176,7 +185,8 @@ def main(argv=None) -> int:
         from pathlib import Path as _Path
         meta = dict(exp_net=cfg.exp_net, map_w=cfg.map_w, map_h=cfg.map_h,
                     num_agents=cfg.num_agents, K=cfg.nGraphFilterTaps,
-                    commRadius=cfg.commR, num_testset=cfg.num_testset)
+                    commRadius=cfg.commR, num_testset=cfg.num_testset,
+                    deadlock_break=cfg.deadlock_break or 0)
         save_statistics_mat(
             _Path(cfg.result_statistics_dir) /
             f"statistics_{cfg.map_w}x{cfg.map_h}_{cfg.num_agents}Agent"

@@ -39,6 +39,23 @@ class StatisticAnalysis:
             map_w: int, label: str = "") -> None:
         self.rows[(label, map_w, num_agents, k)].append(summary)
 
+    def add_archive(self, path: str | Path, label: str = "",
+                    include_dlb: bool = False) -> int:
+        """Feed every leg of a keyed multi-config test archive
+        (:mod:`.archive`) directly — the reference's one-file
+        ``test_summary`` consumption path. Deadlock-break legs are
+        framework-native and excluded unless ``include_dlb``."""
+        from .archive import load_archive
+        count = 0
+        for key, rec in load_archive(path).items():
+            if int(rec.get("deadlock_break", 0) or 0) and not include_dlb:
+                continue
+            self.add(rec, num_agents=int(rec["num_agents"]),
+                     k=int(rec.get("K", 0)), map_w=int(rec["map_w"]),
+                     label=label or str(rec.get("exp_net", "")))
+            count += 1
+        return count
+
     def add_run_dir(self, exp_dir: str | Path, *, num_agents: int, k: int,
                     map_w: int, label: str = "",
                     kind: str = "test_rollout") -> int:

@@ -8,9 +8,12 @@ metrics.jsonl under save_root) OR from an explicit JSON file of
   artifacts/round2_errorbar.png   (Fig-3 style: success/dFT vs #agents)
   artifacts/round2_heatmap.png    (Fig-4 style: generalization grid)
 
-Usage: python scripts/make_round2_figures.py <summaries.json>
-where summaries.json maps "W_N" set keys to summary dicts, e.g.
-{"dcpOE-K3": {"20_10": {...}, "28_20": {...}, "40_40": {...}}}
+Usage: python scripts/make_round2_figures.py <summaries.json|archive.json>
+Accepts either a keyed multi-config test archive written by
+``python -m gnn_pathplanning_tpu.stats.archive`` (detected by its "legs"
+field — the preferred one-file path, mirroring the reference's
+``test_summary`` aggregation) or the legacy hand-glued mapping of
+{"label": {"W_N": summary, ...}} rows.
 """
 from __future__ import annotations
 
@@ -25,10 +28,15 @@ def main():
     src = Path(sys.argv[1])
     data = json.loads(src.read_text())
     agg = StatisticAnalysis()
-    for label, sets in data.items():
-        for key, summary in sets.items():
-            map_w, n = (int(v) for v in key.split("_"))
-            agg.add(summary, num_agents=n, k=3, map_w=map_w, label=label)
+    if "legs" in data:  # one-file archive (stats/archive.py)
+        label = str(data.get("meta", {}).get("label", "")) or "dcpOE-K3"
+        n = agg.add_archive(src, label=label)
+        print(f"loaded {n} legs from archive {src}")
+    else:
+        for label, sets in data.items():
+            for key, summary in sets.items():
+                map_w, n = (int(v) for v in key.split("_"))
+                agg.add(summary, num_agents=n, k=3, map_w=map_w, label=label)
     out = Path("artifacts")
     out.mkdir(exist_ok=True)
     p1 = agg.errorbar_vs_agents(out / "round2_errorbar.png")

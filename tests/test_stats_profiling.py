@@ -110,3 +110,59 @@ def test_metrics_rich_summaries(tmp_path):
     off.log_image("x", 0, rng.rand(4, 4))
     off.log_figure("x", 0, None)
     off.log_histogram("x", 0, rng.randn(8))
+
+
+def test_multi_config_archive_roundtrip(tmp_path):
+    """stats.archive: per-leg statistics .mat files aggregate into ONE keyed
+    archive (the reference's test_summary shape, utils/metrics.py:204-288),
+    newest-wins per configuration, dlb legs keyed separately, and
+    StatisticAnalysis consumes the archive directly."""
+    import time
+
+    from gnn_pathplanning_tpu.stats.archive import (collect_statistics,
+                                                    load_archive,
+                                                    write_archive)
+    from gnn_pathplanning_tpu.train.metrics import save_statistics_mat
+
+    def leg(dirname, fname, rate, **meta):
+        d = tmp_path / dirname / "statistics"
+        d.mkdir(parents=True, exist_ok=True)
+        summary = {"rate_ReachGoal": rate, "num_validset": 10,
+                   "mean_deltaFT": 0.05, "hist_numAgentReachGoal": [0, 1, 9]}
+        base = dict(exp_net="dcp", K=3, commRadius=7, deadlock_break=0)
+        base.update(meta)
+        save_statistics_mat(d / fname, summary, base)
+
+    leg("run1", "statistics_20x20_10Agent_K3.mat", 0.80,
+        map_w=20, map_h=20, num_agents=10)
+    time.sleep(0.02)  # newer mtime for the re-run of the same config
+    leg("run2", "statistics_20x20_10Agent_K3.mat", 0.90,
+        map_w=20, map_h=20, num_agents=10)
+    leg("run3", "statistics_28x28_20Agent_K3.mat", 0.70,
+        map_w=28, map_h=28, num_agents=20)
+    leg("run4", "statistics_20x20_10Agent_K3.mat", 0.95,
+        map_w=20, map_h=20, num_agents=10, deadlock_break=3)
+
+    legs = collect_statistics(tmp_path)
+    assert set(legs) == {"TE_M20x20_10Agent_K3_comR7",
+                         "TE_M28x28_20Agent_K3_comR7",
+                         "TE_M20x20_10Agent_K3_comR7_dlb3"}
+    # newest-wins: run2 (0.90) replaces run1 (0.80)
+    assert legs["TE_M20x20_10Agent_K3_comR7"]["rate_ReachGoal"] == 0.90
+
+    jpath, mpath = write_archive(tmp_path / "arch", legs, meta={"label": "t"})
+    assert jpath.exists() and mpath.exists()
+    back = load_archive(jpath)
+    assert back["TE_M28x28_20Agent_K3_comR7"]["rate_ReachGoal"] == 0.70
+
+    from gnn_pathplanning_tpu.stats.analysis import StatisticAnalysis
+    agg = StatisticAnalysis()
+    n = agg.add_archive(jpath, label="t")
+    assert n == 2  # dlb leg excluded by default
+    rows = agg.table("rate_ReachGoal")
+    assert any(r[1] == 28 and abs(r[4] - 0.70) < 1e-9 for r in rows)
+    assert agg.add_archive(jpath, label="t2", include_dlb=True) == 3
+
+    import scipy.io as sio
+    mat = sio.loadmat(str(mpath))
+    assert any(k.startswith("M20x20_10Agent") for k in mat)

@@ -100,14 +100,53 @@ spmm_bf16 = jax.jit(lambda: geometric_spmm_compact(
     pos2_p, x2_p.astype(jnp.bfloat16), 6.0, valid2, cidx, ccount,
     senders_per_step=4))()
 
+# --- B=4440 FOV + forward canary (the round-2 miscompile class: an
+# XLA:TPU scatter at >=24k windows silently zeroed the goal channel and a
+# full eval sweep scored 0.005 while CPU scored 0.886 — ROUND2.md). Renders
+# the full test-sweep batch shape [4440, 10] on the chip; the parent
+# compares the observations bit-wise to CPU and checks argmax agreement
+# through the full DCP forward.
+from gnn_pathplanning_tpu.ops.fov import render_fov
+from gnn_pathplanning_tpu.models.dcp import DCPConfig, DCPNet
+
+rngc = np.random.RandomState(1234)
+B, N, W = 4440, 10, 20
+grids = (rngc.rand(B, W, W) < 0.1).astype(np.float32)
+cells = np.argsort(rngc.rand(B, W * W), axis=1)[:, :2 * N]
+posc = np.stack([cells[:, :N] // W, cells[:, :N] % W], -1).astype(np.int32)
+goalc = np.stack([cells[:, N:] // W, cells[:, N:] % W], -1).astype(np.int32)
+obs4440 = jax.jit(jax.vmap(render_fov))(
+    jnp.asarray(grids), jnp.asarray(posc), jnp.asarray(goalc))
+
+dcp = DCPNet(DCPConfig(num_taps=3))
+dcp_vars = dcp.init_variables(jax.random.PRNGKey(0), N)
+adjc = jax.vmap(adjacency_from_positions, in_axes=(0, None))(
+    jnp.asarray(posc, jnp.float32), jnp.float32(5.0))
+gsoc = jax.vmap(normalize_adjacency)(adjc)
+logits4440 = jax.jit(lambda o, s: dcp.apply(dcp_vars, o, s, train=False))(
+    obs4440, gsoc)
+acts4440 = np.asarray(jnp.argmax(logits4440, -1))
+
 np.savez(out_path, dense=np.asarray(dense), geo=np.asarray(geo),
          valid=np.asarray(valid), gso=np.asarray(gso),
          rect=np.asarray(rect), recv_valid=np.asarray(recv_valid),
          pos2=pos2, x2=x2, compact=np.asarray(compact),
          valid2=np.asarray(valid2), spmm_s1=np.asarray(spmm_s1),
-         spmm_s4=np.asarray(spmm_s4), spmm_bf16=np.asarray(spmm_bf16))
+         spmm_s4=np.asarray(spmm_s4), spmm_bf16=np.asarray(spmm_bf16),
+         fov4440=np.asarray(obs4440), acts4440=acts4440)
 print("tpu child ok")
 """
+
+
+def _canary_inputs():
+    rngc = np.random.RandomState(1234)
+    B, N, W = 4440, 10, 20
+    grids = (rngc.rand(B, W, W) < 0.1).astype(np.float32)
+    cells = np.argsort(rngc.rand(B, W * W), axis=1)[:, :2 * N]
+    posc = np.stack([cells[:, :N] // W, cells[:, :N] % W], -1).astype(np.int32)
+    goalc = np.stack([cells[:, N:] // W, cells[:, N:] % W],
+                     -1).astype(np.int32)
+    return grids, posc, goalc
 
 
 @pytest.fixture(scope="module")
@@ -118,7 +157,7 @@ def tpu_results(tmp_path_factory):
         env.pop(k, None)
     proc = subprocess.run(
         [sys.executable, "-c", _CHILD, str(out)], env=env,
-        capture_output=True, text=True, timeout=1200,
+        capture_output=True, text=True, timeout=1800,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "tpu child ok" in proc.stdout
@@ -222,3 +261,45 @@ def test_multi_sender_and_bf16_spmm_on_tpu(tpu_results):
     want = w.T @ x2
     got = s1[tpu_results["valid2"].astype(bool)]
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_fov_canary_b4440_bitwise(tpu_results):
+    """The full [4440, 10] FOV render on the chip must be BIT-IDENTICAL to
+    CPU — the round-2 scatter miscompile silently zeroed the goal channel
+    only above ~24k windows, so small-shape tests cannot stand in for this
+    one (ops/fov.py, ROUND2.md 'B=4440 TPU FOV miscompile')."""
+    import jax
+    import jax.numpy as jnp
+    from gnn_pathplanning_tpu.ops.fov import render_fov
+    grids, posc, goalc = _canary_inputs()
+    want = np.asarray(jax.jit(jax.vmap(render_fov))(
+        jnp.asarray(grids), jnp.asarray(posc), jnp.asarray(goalc)))
+    got = tpu_results["fov4440"]
+    assert got.shape == (4440, 10, 3, 11, 11)
+    # goal channel non-degenerate: the miscompile zeroed it in 74% of windows
+    assert (got[:, :, 1].sum(axis=(-1, -2)) > 0).mean() > 0.999
+    np.testing.assert_array_equal(got, want)
+
+
+def test_forward_canary_b4440_argmax(tpu_results):
+    """Full DCP forward at the eval-sweep batch shape: TPU argmax actions
+    must agree with CPU >= 99.5% (residual = bf16-free HIGHEST-precision
+    rounding only)."""
+    import jax
+    import jax.numpy as jnp
+    from gnn_pathplanning_tpu.models.dcp import DCPConfig, DCPNet
+    from gnn_pathplanning_tpu.ops.gso import (adjacency_from_positions,
+                                              normalize_adjacency)
+    grids, posc, goalc = _canary_inputs()
+    obs = tpu_results["fov4440"]  # bit-identical to CPU per the test above
+    dcp = DCPNet(DCPConfig(num_taps=3))
+    dcp_vars = dcp.init_variables(jax.random.PRNGKey(0), 10)
+    adjc = jax.vmap(adjacency_from_positions, in_axes=(0, None))(
+        jnp.asarray(posc, jnp.float32), jnp.float32(5.0))
+    gsoc = jax.vmap(normalize_adjacency)(adjc)
+    logits = jax.jit(lambda o, s: dcp.apply(dcp_vars, o, s, train=False))(
+        jnp.asarray(obs), gsoc)
+    want = np.asarray(jnp.argmax(logits, -1))
+    got = tpu_results["acts4440"]
+    agreement = (got == want).mean()
+    assert agreement >= 0.995, f"TPU/CPU argmax agreement {agreement:.4f}"
