@@ -29,7 +29,7 @@ PID=$!
 EXP="experiments_r2/dcp_map20x20_rho1_10Agent/K3_HS0/$TS"
 echo "train pid=$PID exp=$EXP log=/tmp/ft2_$TS.log"
 
-nohup scripts/train_watchdog.sh "$PID" "$EXP" 59 1500 -- \
+nohup scripts/train_watchdog.sh "$PID" "$EXP" 60 1500 -- \
   python -m gnn_pathplanning_tpu.cli.main "${FLAGS[@]}" --con_train \
   > "/tmp/ft2_watchdog_$TS.log" 2>&1 &
 echo "watchdog pid=$!"

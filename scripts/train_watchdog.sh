@@ -20,11 +20,19 @@ shift 4
 RESUME=("$@")
 # A resume command that lost its flags (shell quoting, subshell var scope)
 # relaunches the DEFAULT config against the wrong data root and the loop
-# kills healthy trainers forever. Refuse to start without the essentials.
+# kills healthy trainers forever. Require BOTH essentials: without
+# '--mode train' the post-relaunch pgrep (below) never matches and the loop
+# spawns duplicate trainers; without '--con_train' the relaunch starts a
+# fresh run from scratch instead of resuming.
 case " ${RESUME[*]} " in
-  *" --mode train "*|*"--con_train"*) : ;;
-  *) echo "watchdog: resume command lacks --mode train/--con_train:" \
-         "${RESUME[*]}" >&2; exit 2 ;;
+  *" --mode train "*) : ;;
+  *) echo "watchdog: resume command lacks --mode train: ${RESUME[*]}" >&2
+     exit 2 ;;
+esac
+case " ${RESUME[*]} " in
+  *" --con_train "*) : ;;
+  *) echo "watchdog: resume command lacks --con_train: ${RESUME[*]}" >&2
+     exit 2 ;;
 esac
 METRICS="$EXP/metrics.jsonl"
 cd /root/repo
@@ -61,7 +69,14 @@ while true; do
     hb_m=$(stat -c %Y "$METRICS" 2>/dev/null || echo 0)
     hb_p=$(stat -c %Y "/proc/$PID" 2>/dev/null || echo 0)
     hb=$(( hb_m > hb_p ? hb_m : hb_p ))
-    [ "$hb" -eq 0 ] && hb=$(date +%s)
+    if [ "$hb" -eq 0 ]; then
+      # Both heartbeat sources unreadable (metrics file missing AND
+      # /proc/$PID gone despite kill -0 — e.g. the PID exited in the race
+      # window). Resetting to "now" masks a vanished heartbeat source, so
+      # make the fallback visible in the log.
+      log "no readable heartbeat source (metrics missing, /proc/$PID unreadable); treating as fresh"
+      hb=$(date +%s)
+    fi
     age=$(( $(date +%s) - hb ))
     if [ "$age" -lt "$STALE" ]; then
       sleep 60
