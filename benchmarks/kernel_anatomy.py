@@ -1,0 +1,247 @@
+"""Per-grid-step anatomy of the compact scalar-prefetch SpMM kernel.
+
+ROUND2 measured the compact grid at ~317 ns/grid-step (N=16k) and
+attributed the gap to roofline to "per-grid-step fixed cost of a different
+origin" — a conjecture. This benchmark replaces it with evidence by timing
+stage-isolated kernel variants on the SAME grid/specs and differencing:
+
+- ``bookkeeping``: grid + scalar-prefetch loop with constant index maps
+  (every DMA hits the same block -> elided) and an empty body.
+- ``dma_only``: real index maps, body only accumulates the x block
+  (x DMA + out r/w, no matmul, no weights).
+- ``matmul_only``: x DMA + one 128x128xG MXU matmul with a scalar-filled
+  weight matrix (no weight computation).
+- ``degrees_vpu`` / ``degrees_mxuw``: weight computation only (VPU
+  broadcast route vs homogeneous MXU route) + cheap row-sum.
+- ``full_vpu`` / ``full_mxuw``: the production SpMM kernels.
+
+ns/step for each, with the dispatch floor cancelled by chaining dependent
+calls inside one jit (same method as pallas_roofline.py).
+
+Usage (real chip): python benchmarks/kernel_anatomy.py --agents 16384
+Writes benchmarks/kernel_anatomy.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--agents", type=int, nargs="+", default=[4096, 16384])
+    p.add_argument("--feats", type=int, default=128)
+    p.add_argument("--degree", type=float, default=24.0)
+    p.add_argument("--chain", type=int, default=30)
+    p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--out", type=str,
+                   default=str(REPO / "benchmarks" / "kernel_anatomy.json"))
+    return p.parse_args()
+
+
+def build_variants(pos_pad, valid, r, idx, count, g):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gnn_pathplanning_tpu.ops.pallas_swarm import (
+        BLOCK, _SUB, _compact_plane_specs, _homog_center, _homog_planes,
+        _homog_specs, _homog_weights, _pair_weights, _planes, _unpack)
+
+    nb_r = pos_pad.shape[0] // BLOCK
+    cap = idx.shape[1]
+    r2 = (jnp.asarray(r, jnp.float32) ** 2).reshape(1)
+    ps_v = _planes(pos_pad, valid)
+    ps_h = _homog_planes(pos_pad, valid, _homog_center(pos_pad, valid))
+    send_v, recv_v = _compact_plane_specs()
+    sF1, sF2, rF1, rF2 = _homog_specs()
+    x_spec = pl.BlockSpec((BLOCK, g),
+                          lambda j, k, idx_ref, cnt, r2: (idx_ref[j, k], 0),
+                          memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((BLOCK, g), lambda j, k, *_: (j, 0),
+                            memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec((BLOCK, g), lambda j, k, *_: (0, 0),
+                              memory_space=pltpu.VMEM)
+
+    def call(kernel, in_specs, *ops_):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3, grid=(nb_r, cap),
+            in_specs=in_specs, out_specs=out_spec)
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nb_r * BLOCK, g), jnp.float32),
+        )(idx, count, r2, *ops_)
+
+    # -- bookkeeping: constant index maps (same-block DMAs elided), no body
+    def k_book(idx_ref, cnt_ref, r2_ref, x_ref, out_ref):
+        j, k = pl.program_id(0), pl.program_id(1)
+
+        @pl.when((j == 0) & (k == 0))
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+    # -- dma_only: real x DMA + out accumulate
+    def k_dma(idx_ref, cnt_ref, r2_ref, x_ref, out_ref):
+        j, k = pl.program_id(0), pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        @pl.when(k < cnt_ref[j])
+        def _():
+            out_ref[:] += x_ref[:]
+
+    # -- matmul_only: x DMA + MXU matmul with scalar-filled weights
+    def k_mm(idx_ref, cnt_ref, r2_ref, x_ref, out_ref):
+        j, k = pl.program_id(0), pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        @pl.when(k < cnt_ref[j])
+        def _():
+            w = jnp.full((BLOCK, BLOCK), r2_ref[0] * 1e-9, jnp.float32)
+            out_ref[:] += jnp.dot(w, x_ref[:],
+                                  preferred_element_type=jnp.float32)
+
+    # -- degrees (weights only), VPU route
+    def k_deg_vpu(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref, x_ref, out_ref):
+        j, k = pl.program_id(0), pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        @pl.when(k < cnt_ref[j])
+        def _():
+            w = _pair_weights(*_unpack(pi_ref), *_unpack(pj_ref), r2_ref[0])
+            out_ref[0, :] += jnp.sum(w, axis=0)[:g]
+
+    # -- degrees, MXU homogeneous route
+    def k_deg_mxu(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref, x_ref, out_ref):
+        j, k = pl.program_id(0), pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        @pl.when(k < cnt_ref[j])
+        def _():
+            w = _homog_weights(pi_ref, pj_ref, r2_ref[0])
+            out_ref[0, :] += jnp.sum(w, axis=0)[:g]
+
+    # -- full production kernels
+    def k_full_vpu(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref, x_ref, out_ref):
+        j, k = pl.program_id(0), pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        @pl.when(k < cnt_ref[j])
+        def _():
+            w = _pair_weights(*_unpack(pi_ref), *_unpack(pj_ref), r2_ref[0])
+            out_ref[:] += jnp.dot(w.T, x_ref[:],
+                                  preferred_element_type=jnp.float32)
+
+    def k_full_mxu(idx_ref, cnt_ref, r2_ref, pr_ref, psn_ref, x_ref,
+                   out_ref):
+        j, k = pl.program_id(0), pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        @pl.when(k < cnt_ref[j])
+        def _():
+            w_t = _homog_weights(pr_ref, psn_ref, r2_ref[0])
+            out_ref[:] += jnp.dot(w_t.astype(x_ref.dtype), x_ref[:],
+                                  preferred_element_type=jnp.float32)
+
+    return {
+        "bookkeeping": lambda x: call(k_book, [const_spec], x),
+        "dma_only": lambda x: call(k_dma, [x_spec], x),
+        "matmul_only": lambda x: call(k_mm, [x_spec], x),
+        "degrees_vpu": lambda x: call(k_deg_vpu, [send_v, recv_v, const_spec],
+                                      ps_v, ps_v, x),
+        "degrees_mxuw": lambda x: call(k_deg_mxu, [sF1, rF2, const_spec],
+                                       ps_h, ps_h, x),
+        "full_vpu": lambda x: call(k_full_vpu, [send_v, recv_v, x_spec],
+                                   ps_v, ps_v, x),
+        "full_mxuw": lambda x: call(k_full_mxu, [rF1, sF2, x_spec],
+                                    ps_h, ps_h, x),
+    }
+
+
+def main() -> int:
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    from gnn_pathplanning_tpu.ops.pallas_swarm import (
+        block_pair_mask, compact_sender_index, pad_agents, spatial_sort)
+
+    rows = []
+    for n in args.agents:
+        r = 6.0
+        density = args.degree / (np.pi * r * r)
+        side = np.sqrt(n / density)
+        rng = np.random.RandomState(1337)
+        pos = rng.rand(n, 2).astype(np.float32) * side
+        pos = np.asarray(pos)[np.asarray(spatial_sort(jnp.asarray(pos),
+                                                      cell=r))]
+        x = rng.rand(n, args.feats).astype(np.float32)
+        pos_pad, x_pad, valid = pad_agents(jnp.asarray(pos), jnp.asarray(x))
+        mask = block_pair_mask(pos_pad, r, valid)
+        cap = int(np.asarray(mask).sum(axis=0).max())
+        idx, count, overflow = compact_sender_index(mask, cap)
+        assert not bool(overflow)
+        nb = pos_pad.shape[0] // 128
+        steps = nb * cap
+
+        variants = build_variants(pos_pad, valid, r, idx, count, args.feats)
+        row = {"agents": n, "blocks": nb, "cap": cap, "grid_steps": steps,
+               "active_pairs": int(np.asarray(mask).sum())}
+
+        for name, fn in variants.items():
+            @jax.jit
+            def chained(z, fn=fn):
+                def body(_, acc):
+                    out = fn(acc)
+                    return acc * 0.999999 + out * 1e-12
+                return jax.lax.fori_loop(0, args.chain, body, z)
+
+            jax.block_until_ready(chained(x_pad))  # compile + warm
+            best = np.inf
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                jax.block_until_ready(chained(x_pad))
+                best = min(best, time.perf_counter() - t0)
+            per_call = best / args.chain
+            row[name + "_per_call_s"] = per_call
+            row[name + "_ns_per_step"] = 1e9 * per_call / steps
+            print(f"N={n} {name:14s} {per_call * 1e6:9.1f} us/call "
+                  f"{1e9 * per_call / steps:7.1f} ns/step", flush=True)
+        rows.append(row)
+
+    result = {"platform": jax.devices()[0].platform,
+              "device": str(jax.devices()[0]),
+              "feats": args.feats, "chain": args.chain, "rows": rows}
+    Path(args.out).write_text(json.dumps(result, indent=2))
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

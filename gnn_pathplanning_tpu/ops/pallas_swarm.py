@@ -285,6 +285,136 @@ def compact_sender_index(mask: jax.Array, cap: int):
     return idx, count, jnp.any(raw > cap)
 
 
+# --------------------------------------------------------- MXU weights
+# The VPU `_pair_weights` builds d2 from lane-vector broadcasts
+# (xi[:, None] - xj[None, :]): each broadcast is a lane->sublane relayout,
+# and profiling the compact grid showed the per-step time (~317 ns at
+# N=16k) is dominated by this weight recompute running SERIALLY with the
+# 128x128xG MXU matmul — not by grid bookkeeping (benchmarks/
+# kernel_anatomy.py). The homogeneous-coordinate route moves d2 onto the
+# MXU instead:
+#
+#   d2[a, b] = |p_a|^2 + |p_b|^2 - 2 x_a x_b - 2 y_a y_b
+#            = sum_k F1[k, a] * F2[k, b]
+#
+# with per-agent homogeneous rows
+#   F1 = (-2x, -2y, 1, |p|^2, BIG*(1-v), 1)       ("first operand" form)
+#   F2 = ( x,   y,  |p|^2, 1, 1, BIG*(1-v))       ("second operand" form)
+# so one tiny [6, 128] x [6, 128] contraction yields the full [128, 128]
+# d2 block in whichever orientation the caller wants (pick which block
+# supplies F1): the SpMM computes w TRANSPOSED directly and drops the
+# w.T from its MXU matmul, and invalid lanes fold in via the +BIG term
+# (no per-lane valid multiplies). The VPU then only does 2 compares, an
+# AND and a select on an already-laid-out [128, 128] block.
+#
+# EXACTNESS precondition: every product must be exact in f32 (the strict
+# d2 < r2 / d2 == 0 comparisons must match the oracle's small-difference
+# arithmetic). Positions are integer grid coordinates; after centering
+# (subtracting the valid bounding-box midpoint, itself an exact integer
+# translation) all |coords| <= 2047 keeps |p|^2 < 2^23 and every partial
+# sum < 2^24 — exact in f32 regardless of accumulation order. That covers
+# worlds up to ~4000 cells on a side (N ~ 320k at the benchmark density);
+# the host wrapper asserts the bound and the MXU contraction runs at
+# HIGHEST precision so f32 inputs are not truncated to bf16.
+_HOMOG_BIG = 1e9
+
+
+def _homog_center(pos: jax.Array, valid: jax.Array) -> jax.Array:
+    """Exact integer centering offset (valid bounding-box midpoint) —
+    doubles the usable coordinate range of the exactness precondition.
+    Sender and receiver planes of one contraction MUST share the center
+    (d2 = |(p_a - c) - (p_b - c)|^2 only telescopes for equal c)."""
+    v = valid > 0
+    big = jnp.float32(1e9)
+    lo = jnp.min(jnp.where(v[:, None], pos, big), axis=0)
+    hi = jnp.max(jnp.where(v[:, None], pos, -big), axis=0)
+    return jnp.floor((lo + hi) * 0.5)
+
+
+def _homog_planes(pos: jax.Array, valid: jax.Array,
+                  center: jax.Array | None = None) -> jax.Array:
+    """[NB * 2 * _SUB, BLOCK] packed homogeneous planes: per block, rows
+    0-5 of tile 0 hold F1, rows 0-5 of tile 1 hold F2 (rows 6-7 zero)."""
+    nb = pos.shape[0] // BLOCK
+    c = _homog_center(pos, valid) if center is None else center
+    p = pos - c
+    x, y = p[:, 0], p[:, 1]
+    n2 = x * x + y * y
+    one = jnp.ones_like(x)
+    inv = _HOMOG_BIG * (1.0 - valid)
+    f1 = jnp.stack([-2.0 * x, -2.0 * y, one, n2, inv, one], axis=0)
+    f2 = jnp.stack([x, y, n2, one, one, inv], axis=0)
+
+    def tiles(f):  # [6, N] -> [nb, _SUB, BLOCK]
+        f = jnp.pad(f, ((0, _SUB - 6), (0, 0)))
+        return f.reshape(_SUB, nb, BLOCK).transpose(1, 0, 2)
+
+    packed = jnp.stack([tiles(f1), tiles(f2)], axis=1)  # [nb, 2, SUB, BLOCK]
+    return packed.reshape(nb * 2 * _SUB, BLOCK)
+
+
+def _homog_weights(f1_ref, f2_ref, r2):
+    """[BLOCK, BLOCK] 0/1 weights, oriented [f1-block lanes, f2-block
+    lanes]; same semantics as `_pair_weights` (strict < r2, self/dup and
+    invalid lanes zeroed)."""
+    d2 = jax.lax.dot_general(
+        f1_ref[:6], f2_ref[:6], (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    return jnp.where((d2 < r2) & (d2 > 0.0), 1.0, 0.0)
+
+
+def _degree_kernel_compact_mxuw(idx_ref, cnt_ref, r2_ref, ps_ref, pr_ref,
+                                out_ref):
+    j, k = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(k < cnt_ref[j])
+    def _():
+        # w oriented [send, recv]: sender block supplies F1 (sublanes),
+        # receiver F2 (lanes); cross-sublane sum -> recv lane vector.
+        w = _homog_weights(ps_ref, pr_ref, r2_ref[0])
+        out_ref[0, :] += jnp.sum(w, axis=0)
+
+
+def _spmm_kernel_compact_mxuw(idx_ref, cnt_ref, r2_ref, pr_ref, ps_ref,
+                              x_ref, out_ref):
+    j, k = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(k < cnt_ref[j])
+    def _():
+        # w oriented [recv, send] (receiver supplies F1) — the main matmul
+        # contracts senders directly, no transpose.
+        w_t = _homog_weights(pr_ref, ps_ref, r2_ref[0])
+        out_ref[:] += jnp.dot(w_t.astype(x_ref.dtype), x_ref[:],
+                              preferred_element_type=jnp.float32)
+
+
+def _homog_specs():
+    """(sender-F1, sender-F2, recv-F1, recv-F2) BlockSpecs over the packed
+    homogeneous planes (block row 2b = F1 of agent-block b, 2b+1 = F2)."""
+    sF1 = pl.BlockSpec((_SUB, BLOCK),
+                       lambda j, k, idx, cnt, r2: (2 * idx[j, k], 0),
+                       memory_space=pltpu.VMEM)
+    sF2 = pl.BlockSpec((_SUB, BLOCK),
+                       lambda j, k, idx, cnt, r2: (2 * idx[j, k] + 1, 0),
+                       memory_space=pltpu.VMEM)
+    rF1 = pl.BlockSpec((_SUB, BLOCK),
+                       lambda j, k, idx, cnt, r2: (2 * j, 0),
+                       memory_space=pltpu.VMEM)
+    rF2 = pl.BlockSpec((_SUB, BLOCK),
+                       lambda j, k, idx, cnt, r2: (2 * j + 1, 0),
+                       memory_space=pltpu.VMEM)
+    return sF1, sF2, rF1, rF2
+
+
 def _degree_kernel_compact(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref,
                            out_ref):
     j, k = pl.program_id(0), pl.program_id(1)
@@ -358,27 +488,43 @@ def geometric_degrees_compact(pos: jax.Array, radius, valid: jax.Array,
                               idx: jax.Array, count: jax.Array,
                               interpret: bool = False,
                               recv_pos: jax.Array | None = None,
-                              recv_valid: jax.Array | None = None) -> jax.Array:
+                              recv_valid: jax.Array | None = None,
+                              mxu_weights: bool = False) -> jax.Array:
     """Compact-grid variant of :func:`geometric_degrees`: only the (up to
-    ``cap``) active sender blocks per receiver are visited/DMA'd."""
-    ps = _planes(pos, valid)
-    if recv_pos is None:
-        pr, nb_r = ps, pos.shape[0] // BLOCK
-    else:
-        nb_r = recv_pos.shape[0] // BLOCK
-        pr = _planes(recv_pos, recv_valid)
+    ``cap``) active sender blocks per receiver are visited/DMA'd.
+    ``mxu_weights`` computes pair weights via the homogeneous-coordinate
+    MXU contraction instead of VPU broadcasts (see module notes)."""
+    nb_r = (recv_pos if recv_pos is not None else pos).shape[0] // BLOCK
     cap = idx.shape[1]
     r2 = (jnp.asarray(radius, jnp.float32) ** 2).reshape(1)
-    send, recv = _compact_plane_specs()
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(nb_r, cap),
-        in_specs=[send, recv],
-        out_specs=pl.BlockSpec((_SUB, BLOCK),
-                               lambda j, k, *_: (j, 0),
-                               memory_space=pltpu.VMEM))
+    if mxu_weights:
+        c = _homog_center(pos, valid)
+        ps = _homog_planes(pos, valid, c)
+        pr = (ps if recv_pos is None
+              else _homog_planes(recv_pos, recv_valid, c))
+        sF1, _, _, rF2 = _homog_specs()
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nb_r, cap),
+            in_specs=[sF1, rF2],
+            out_specs=pl.BlockSpec((_SUB, BLOCK),
+                                   lambda j, k, *_: (j, 0),
+                                   memory_space=pltpu.VMEM))
+        kernel = _degree_kernel_compact_mxuw
+    else:
+        ps = _planes(pos, valid)
+        pr = ps if recv_pos is None else _planes(recv_pos, recv_valid)
+        send, recv = _compact_plane_specs()
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nb_r, cap),
+            in_specs=[send, recv],
+            out_specs=pl.BlockSpec((_SUB, BLOCK),
+                                   lambda j, k, *_: (j, 0),
+                                   memory_space=pltpu.VMEM))
+        kernel = _degree_kernel_compact
     out = pl.pallas_call(
-        _degree_kernel_compact,
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb_r * _SUB, BLOCK), jnp.float32,
                                        vma=_join_vma(idx, ps, pr)),
@@ -392,7 +538,8 @@ def geometric_spmm_compact(pos: jax.Array, x: jax.Array, radius,
                            count: jax.Array, interpret: bool = False,
                            recv_pos: jax.Array | None = None,
                            recv_valid: jax.Array | None = None,
-                           senders_per_step: int = 1) -> jax.Array:
+                           senders_per_step: int = 1,
+                           mxu_weights: bool = False) -> jax.Array:
     """Compact-grid variant of :func:`geometric_spmm`: the sender x-block
     DMA happens only for active block pairs (plus the <= cap fill slots),
     cutting HBM traffic by the inactive fraction — the dense-grid kernel
@@ -402,17 +549,41 @@ def geometric_spmm_compact(pos: jax.Array, x: jax.Array, radius,
     step (separate DMAs, shared step overhead) — the one-sender grid is
     per-step-overhead-bound at swarm scale. ``x`` may be bfloat16 (halved
     feature traffic); accumulation stays float32 and the 0/1 weights are
-    exactly representable, so bf16 only rounds the features themselves."""
+    exactly representable, so bf16 only rounds the features themselves.
+
+    ``mxu_weights`` replaces the VPU broadcast weight recompute with the
+    homogeneous-coordinate MXU contraction, which also yields w already
+    transposed so the main matmul loses its transpose (module notes)."""
     n, g = x.shape
-    ps = _planes(pos, valid)
-    if recv_pos is None:
-        pr, n_r = ps, n
-    else:
-        n_r = recv_pos.shape[0]
-        pr = _planes(recv_pos, recv_valid)
+    n_r = n if recv_pos is None else recv_pos.shape[0]
     nb_r = n_r // BLOCK
     r2 = (jnp.asarray(radius, jnp.float32) ** 2).reshape(1)
     s_step = max(1, int(senders_per_step))
+    if s_step == 1 and mxu_weights:
+        cap = idx.shape[1]
+        c = _homog_center(pos, valid)
+        ps = _homog_planes(pos, valid, c)
+        pr = (ps if recv_pos is None
+              else _homog_planes(recv_pos, recv_valid, c))
+        _, sF2, rF1, _ = _homog_specs()
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(nb_r, cap),
+            in_specs=[rF1, sF2,
+                      pl.BlockSpec((BLOCK, g),
+                                   lambda j, k, idx_ref, cnt, r2: (idx_ref[j, k], 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((BLOCK, g), lambda j, k, *_: (j, 0),
+                                   memory_space=pltpu.VMEM))
+        return pl.pallas_call(
+            _spmm_kernel_compact_mxuw,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_r, g), jnp.float32,
+                                           vma=_join_vma(idx, ps, pr, x)),
+            interpret=interpret,
+        )(idx, count, r2, pr, ps, x)
+    ps = _planes(pos, valid)
+    pr = ps if recv_pos is None else _planes(recv_pos, recv_valid)
     if s_step == 1:
         cap = idx.shape[1]
         send, recv = _compact_plane_specs()
@@ -483,7 +654,8 @@ def _pad_idx_multi(idx: jax.Array, s_step: int) -> jax.Array:
 def make_geometric_ops(send_pos: jax.Array, send_valid: jax.Array, radius,
                        recv_pos: jax.Array | None = None,
                        recv_valid: jax.Array | None = None,
-                       cap: int | None = None, interpret: bool = False):
+                       cap: int | None = None, interpret: bool = False,
+                       mxu_weights: bool = False):
     """Build ``(degrees_fn, spmm_fn)`` over the radius graph between a
     padded sender set and an (optionally rectangular) padded receiver set.
 
@@ -515,7 +687,8 @@ def make_geometric_ops(send_pos: jax.Array, send_valid: jax.Array, radius,
                                         interpret, recv_pos, recv_valid),
             lambda a: geometric_degrees_compact(a[0], radius, a[1], idx,
                                                 count, interpret,
-                                                recv_pos, recv_valid),
+                                                recv_pos, recv_valid,
+                                                mxu_weights=mxu_weights),
             (send_pos, send_valid))
 
     def spmm_fn(z):
@@ -525,7 +698,8 @@ def make_geometric_ops(send_pos: jax.Array, send_valid: jax.Array, radius,
                                      interpret, recv_pos, recv_valid),
             lambda a: geometric_spmm_compact(a[0], a[1], radius, a[2], idx,
                                              count, interpret,
-                                             recv_pos, recv_valid),
+                                             recv_pos, recv_valid,
+                                             mxu_weights=mxu_weights),
             (send_pos, z, send_valid))
 
     return degrees_fn, spmm_fn
@@ -535,7 +709,8 @@ def graph_filter_geometric(pos: jax.Array, x: jax.Array, radius,
                            weights: jax.Array, bias: jax.Array | None = None,
                            valid: jax.Array | None = None,
                            interpret: bool = False,
-                           cap: int | None = None) -> jax.Array:
+                           cap: int | None = None,
+                           mxu_weights: bool = False) -> jax.Array:
     """Full K-tap graph filter over the radius graph without materializing
     the GSO: matches ``ops.graph_filter(x, normalize(adjacency(pos, r)), w,
     b)`` on the valid lanes.
@@ -555,7 +730,8 @@ def graph_filter_geometric(pos: jax.Array, x: jax.Array, radius,
     if valid is None:
         valid = jnp.ones((n,), jnp.float32)
     degrees_fn, spmm = make_geometric_ops(pos, valid, radius, cap=cap,
-                                          interpret=interpret)
+                                          interpret=interpret,
+                                          mxu_weights=mxu_weights)
     deg = degrees_fn()
     inv_sqrt = jnp.where(deg > 1e-9, jax.lax.rsqrt(jnp.maximum(deg, 1e-9)),
                          0.0)
