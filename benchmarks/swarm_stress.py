@@ -42,6 +42,9 @@ def parse_args():
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--paths", type=str, nargs="+",
                    default=["dense", "geometric", "compact", "halo"])
+    p.add_argument("--mxu-weights", action="store_true",
+                   help="homogeneous-coordinate MXU weight route in the "
+                        "geometric/compact/halo kernels")
     p.add_argument("--platform", choices=["cpu", "tpu"], default="tpu",
                    help="cpu = smoke-test the program (dense path only; "
                         "pallas does not lower to CPU)")
@@ -81,11 +84,14 @@ def main() -> int:
             def f():
                 return swarm_rollout_halo(mesh, variables, grid, starts,
                                           goals, args.radius, steps, key,
-                                          geometric=True, cap=args.cap)
+                                          geometric=True, cap=args.cap,
+                                          mxu_weights=args.mxu_weights)
         else:
             kw = {"geometric": path != "dense"}
             if path == "compact":
                 kw["cap"] = args.cap
+            if path != "dense":
+                kw["mxu_weights"] = args.mxu_weights
             def f():
                 return swarm_rollout(mesh, variables, grid, starts, goals,
                                      args.radius, steps, key, **kw)
@@ -119,6 +125,7 @@ def main() -> int:
               "device": str(jax.devices()[0]),
               "agents": n, "steps": steps, "world": w,
               "radius": args.radius, "cap": args.cap,
+              "mxu_weights": args.mxu_weights,
               "devices_in_mesh": 1, "rows": rows}
     Path(args.out).write_text(json.dumps(result, indent=2))
     print(json.dumps(result))
