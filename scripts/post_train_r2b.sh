@@ -25,6 +25,12 @@ echo "using checkpoint: $CKPT"
 echo "=== EVAL SWEEP ==="
 timeout 7200 bash scripts/eval_round2.sh "$CKPT" 2>&1 | grep -v WARNING
 
+echo "=== TEST ARCHIVE + FIGURES ==="
+timeout 600 python -m gnn_pathplanning_tpu.stats.archive experiments_r2 \
+  -o artifacts/test_archive_r3 --label dcpOE-K3-r3 2>&1 | grep -v WARNING
+timeout 600 python scripts/make_round2_figures.py \
+  artifacts/test_archive_r3.json 2>&1 | grep -v WARNING | tail -3
+
 echo "=== REAL-TPU KERNEL TESTS ==="
 timeout 1800 python -m pytest tests/test_tpu_real.py -q -m tpu 2>&1 \
   | grep -v WARNING | tail -2
