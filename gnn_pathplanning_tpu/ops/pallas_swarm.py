@@ -444,11 +444,14 @@ def _spmm_kernel_compact(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref, x_ref,
                               preferred_element_type=jnp.float32)
 
 
-def _make_spmm_kernel_compact_multi(s_per_step: int):
+def _make_spmm_kernel_compact_multi(s_per_step: int,
+                                    mxu_weights: bool = False):
     """Compact SpMM kernel processing ``s_per_step`` sender blocks per grid
     step. One-sender steps are dominated by per-step fixed costs (grid
     bookkeeping + DMA issue); batching S senders amortizes them S-fold
-    while keeping the same @pl.when-guarded skip semantics per sender."""
+    while keeping the same @pl.when-guarded skip semantics per sender.
+    With ``mxu_weights`` the receiver ref is its F1 homogeneous plane and
+    each sender ref its F2 plane (module "MXU weights" notes)."""
 
     def kernel(idx_ref, cnt_ref, r2_ref, pr_ref, *rest):
         senders = rest[:s_per_step]
@@ -460,14 +463,20 @@ def _make_spmm_kernel_compact_multi(s_per_step: int):
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        xr, yr, vr = _unpack(pr_ref)
+        if not mxu_weights:
+            xr, yr, vr = _unpack(pr_ref)
         for s in range(s_per_step):
             @pl.when(kk * s_per_step + s < cnt_ref[j])
             def _(s=s):
-                w = _pair_weights(*_unpack(senders[s]), xr, yr, vr,
-                                  r2_ref[0])
-                out_ref[:] += jnp.dot(w.astype(xs[s].dtype).T, xs[s][:],
-                                      preferred_element_type=jnp.float32)
+                if mxu_weights:
+                    w_t = _homog_weights(pr_ref, senders[s], r2_ref[0])
+                    out_ref[:] += jnp.dot(w_t.astype(xs[s].dtype), xs[s][:],
+                                          preferred_element_type=jnp.float32)
+                else:
+                    w = _pair_weights(*_unpack(senders[s]), xr, yr, vr,
+                                      r2_ref[0])
+                    out_ref[:] += jnp.dot(w.astype(xs[s].dtype).T, xs[s][:],
+                                          preferred_element_type=jnp.float32)
 
     return kernel
 
@@ -608,11 +617,31 @@ def geometric_spmm_compact(pos: jax.Array, x: jax.Array, radius,
     idx_m = _pad_idx_multi(idx, s_step)
     steps = idx_m.shape[1] // s_step
 
-    def send_spec(s):
-        return pl.BlockSpec(
-            (3 * _SUB, BLOCK),
-            lambda j, kk, idx_ref, cnt, r2, s=s: (idx_ref[j, kk * s_step + s], 0),
-            memory_space=pltpu.VMEM)
+    if mxu_weights:
+        c = _homog_center(pos, valid)
+        ps = _homog_planes(pos, valid, c)
+        pr = (ps if recv_pos is None
+              else _homog_planes(recv_pos, recv_valid, c))
+
+        def send_spec(s):  # sender F2 plane (block row 2i + 1)
+            return pl.BlockSpec(
+                (_SUB, BLOCK),
+                lambda j, kk, idx_ref, cnt, r2, s=s: (
+                    2 * idx_ref[j, kk * s_step + s] + 1, 0),
+                memory_space=pltpu.VMEM)
+
+        recv = pl.BlockSpec((_SUB, BLOCK), lambda j, kk, *_: (2 * j, 0),
+                            memory_space=pltpu.VMEM)
+    else:
+        def send_spec(s):
+            return pl.BlockSpec(
+                (3 * _SUB, BLOCK),
+                lambda j, kk, idx_ref, cnt, r2, s=s: (
+                    idx_ref[j, kk * s_step + s], 0),
+                memory_space=pltpu.VMEM)
+
+        recv = pl.BlockSpec((3 * _SUB, BLOCK), lambda j, kk, *_: (j, 0),
+                            memory_space=pltpu.VMEM)
 
     def x_spec(s):
         return pl.BlockSpec(
@@ -620,8 +649,6 @@ def geometric_spmm_compact(pos: jax.Array, x: jax.Array, radius,
             lambda j, kk, idx_ref, cnt, r2, s=s: (idx_ref[j, kk * s_step + s], 0),
             memory_space=pltpu.VMEM)
 
-    recv = pl.BlockSpec((3 * _SUB, BLOCK), lambda j, kk, *_: (j, 0),
-                        memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(nb_r, steps),
@@ -630,7 +657,7 @@ def geometric_spmm_compact(pos: jax.Array, x: jax.Array, radius,
         out_specs=pl.BlockSpec((BLOCK, g), lambda j, kk, *_: (j, 0),
                                memory_space=pltpu.VMEM))
     out = pl.pallas_call(
-        _make_spmm_kernel_compact_multi(s_step),
+        _make_spmm_kernel_compact_multi(s_step, mxu_weights=mxu_weights),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_r, g), jnp.float32,
                                        vma=_join_vma(idx_m, ps, pr, x)),

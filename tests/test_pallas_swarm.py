@@ -287,3 +287,27 @@ def test_graph_filter_geometric_mxu_weights(rng):
         pos_p, x_p, r, jnp.asarray(w), None, valid, interpret=True,
         cap=cap, mxu_weights=True))[:n]
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("s_step", [2, 4])
+def test_compact_spmm_multi_sender_mxu_weights(rng, s_step):
+    """Multi-sender compact grid with the homogeneous MXU weight route ==
+    single-sender VPU route (ulp tolerance for the transposed matmul)."""
+    n, g, r = 520, 16, 8.0
+    pos = _swarm(rng, n, world=130)
+    order = np.asarray(ps.spatial_sort(jnp.asarray(pos), cell=r))
+    pos = pos[order]
+    pos_p, x_p, valid = ps.pad_agents(jnp.asarray(pos),
+                                      jnp.asarray(rng.rand(n, g)
+                                                  .astype(np.float32)))
+    mask = ps.block_pair_mask(pos_p, r, valid)
+    cap = int(np.asarray(mask).sum(axis=0).max())
+    idx, count, overflow = ps.compact_sender_index(mask, cap)
+    assert not bool(overflow)
+
+    want = np.asarray(ps.geometric_spmm_compact(pos_p, x_p, r, valid, idx,
+                                                count, interpret=True))
+    got = np.asarray(ps.geometric_spmm_compact(
+        pos_p, x_p, r, valid, idx, count, interpret=True,
+        senders_per_step=s_step, mxu_weights=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
