@@ -70,6 +70,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--solver", type=str, default="ecbs",
                    choices=["ecbs", "cbs", "prioritized"])
     p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--mix_train_dirs", type=str, default=None,
+                   help="comma-separated extra train split dirs of OTHER "
+                        "regimes (map size / agent count) mixed into "
+                        "training — framework-native mixed-distribution "
+                        "experiment; incompatible with --online_expert")
+    p.add_argument("--mix_weights", type=str, default=None,
+                   help="comma-separated per-component weights for "
+                        "--mix_train_dirs (primary first; 1 = natural "
+                        "proportion)")
     p.add_argument("--cpu", action="store_true", default=False,
                    help="force the CPU jax backend (this rig's "
                         "sitecustomize pins the tunneled TPU; the env var "
@@ -88,6 +97,7 @@ def main(argv=None) -> int:
     overrides = {k: v for k, v in vars(args).items()
                  if k not in ("config", "test_checkpoint", "pretrained",
                               "ensemble_checkpoints", "cpu",
+                              "mix_train_dirs", "mix_weights",
                               "num_maps", "cases_per_map", "solver",
                               "workers", "log_time_trained")}
     cfg = load_config(args.config, overrides)
@@ -125,6 +135,22 @@ def main(argv=None) -> int:
 
     if cfg.mode == "train":
         train_set = load_split(f"{cfg.dataset_root}/train")
+        if args.mix_train_dirs:
+            if cfg.online_expert:
+                log.error("--mix_train_dirs is incompatible with "
+                          "--online_expert (the OE rebuild would drop the "
+                          "mixed components)")
+                return 1
+            from ..data.dataset import MixedDataset
+            extras = [load_split(d.strip())
+                      for d in args.mix_train_dirs.split(",")]
+            weights = None
+            if args.mix_weights:
+                weights = [float(w) for w in args.mix_weights.split(",")]
+            train_set = MixedDataset(train_set, *extras, weights=weights)
+            log.info("mixed training pool: %s",
+                     [(c.map_shape, c.num_agents, c.num_samples)
+                      for c in train_set.components])
         valid_set = load_split(f"{cfg.dataset_root}/valid",
                                limit=cfg.num_validset)
         # transfer learning (reference --train_TL): freeze everything but the

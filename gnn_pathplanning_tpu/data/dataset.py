@@ -123,6 +123,73 @@ class CaseDataset:
             solution_makespan=self.makespans[idx])
 
 
+class MixedDataset:
+    """Interleaved step-batches from several :class:`CaseDataset` components
+    of possibly DIFFERENT map sizes / agent counts — mixed-distribution
+    training (a framework-native extension over the reference's fixed
+    single-regime pool, aimed at the paper's Fig-4 generalization regime).
+
+    ``batches`` yields each component's shuffled batches in a globally
+    shuffled schedule proportional to the components' sample counts
+    (optionally rescaled by ``weights``). Batches keep their component's
+    native shapes; the jitted train step retraces once per distinct
+    (map, N) shape and reuses the compiled program afterwards — agents are
+    folded into the batch and the loss averages over agents, so the
+    reference's loss semantics are preserved at every N.
+
+    ``num_agents``/``map_shape`` report the PRIMARY (first) component —
+    validation, online-expert harvesting, and checkpoint init follow the
+    primary regime.
+    """
+
+    def __init__(self, primary: CaseDataset, *others: CaseDataset,
+                 weights: Sequence[float] | None = None):
+        self.components = [primary, *others]
+        if weights is not None and len(weights) != len(self.components):
+            raise ValueError("one weight per component required")
+        self.weights = weights
+        self.primary = primary
+        self.num_agents = primary.num_agents
+        self.map_shape = primary.map_shape
+
+    @property
+    def num_cases(self) -> int:
+        return sum(c.num_cases for c in self.components)
+
+    @property
+    def num_samples(self) -> int:
+        return sum(c.num_samples for c in self.components)
+
+    def batches(self, batch_size: int, rng: np.random.RandomState,
+                drop_last: bool = True) -> Iterator[Batch]:
+        iters = [c.batches(batch_size, rng, drop_last)
+                 for c in self.components]
+        counts = [c.num_samples // batch_size for c in self.components]
+        if self.weights is not None:
+            # weight w rescales a component's natural batch count: w=1 keeps
+            # proportional sampling, w=2 doubles its epoch share (repeating
+            # shuffled passes), w=0.5 halves it.
+            counts = [max(1, int(round(n * w))) if n else 0
+                      for n, w in zip(counts, self.weights)]
+        schedule = np.concatenate([np.full(n, i, np.int32)
+                                   for i, n in enumerate(counts)])
+        rng.shuffle(schedule)
+        for i in schedule:
+            try:
+                yield next(iters[i])
+            except StopIteration:
+                # weighted schedules can oversubscribe a component: restart
+                # its shuffled pass so epoch proportions stay as requested
+                iters[i] = self.components[i].batches(batch_size, rng,
+                                                      drop_last)
+                yield next(iters[i])
+
+    def sim_cases(self, limit: int | None = None, indices=None):
+        """Closed-loop case arrays — primary component only (the simulator
+        program is shape-specialized per regime)."""
+        return self.primary.sim_cases(limit=limit, indices=indices)
+
+
 def _scan_dir(path: Path, exts=(".npz", ".mat")) -> list[Path]:
     return sorted(p for p in path.rglob("*") if p.suffix in exts)
 

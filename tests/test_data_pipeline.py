@@ -182,3 +182,84 @@ def test_map_set_png_export(tmp_path, rng):
     assert n == len(pngs) == len(set(pool.map_ids))
     assert pngs[0].name == "IDMap00000.png"
     assert pngs[0].stat().st_size > 100
+
+
+def test_mixed_dataset_interleaves_shapes(rng):
+    """MixedDataset: batches of DIFFERENT (map, N) shapes interleave in a
+    shuffled schedule; proportions follow sample counts (and weights);
+    primary attributes drive validation/init."""
+    from gnn_pathplanning_tpu.data.dataset import CaseDataset, MixedDataset
+    from gnn_pathplanning_tpu.data.transform import CaseRecord
+
+    def make(n_cases, w, n_agents, t):
+        recs = []
+        for i in range(n_cases):
+            states = rng.randint(0, w, (t + 1, n_agents, 2)).astype(np.int16)
+            recs.append(CaseRecord(
+                grid=np.zeros((w, w), np.uint8),
+                goals=states[-1].copy(),
+                states=states,
+                actions=rng.randint(0, 5, (t, n_agents)).astype(np.int8),
+                radius=5.0, makespan=t, target_makespan=t,
+                target_flowtime=t * n_agents))
+        return CaseDataset(recs)
+
+    ds20 = make(12, 20, 10, 8)   # 96 samples
+    ds28 = make(6, 28, 20, 8)    # 48 samples
+    mixed = MixedDataset(ds20, ds28)
+    assert mixed.num_agents == 10 and mixed.map_shape == (20, 20)
+    assert mixed.num_cases == 18
+
+    shapes = []
+    for batch in mixed.batches(16, np.random.RandomState(0)):
+        shapes.append((batch.grids.shape[1], batch.pos.shape[1]))
+    # natural proportion: 96//16=6 primary batches, 48//16=3 secondary
+    assert shapes.count((20, 10)) == 6
+    assert shapes.count((28, 20)) == 3
+    # shuffled: the secondary batches are not all at one end
+    first_28 = [i for i, s in enumerate(shapes) if s == (28, 20)]
+    assert first_28 != [6, 7, 8] and first_28 != [0, 1, 2]
+
+    # weights rescale epoch shares (w=2 doubles the secondary component,
+    # restarting its shuffled pass)
+    mixed_w = MixedDataset(ds20, ds28, weights=[1.0, 2.0])
+    shapes_w = [(b.grids.shape[1], b.pos.shape[1])
+                for b in mixed_w.batches(16, np.random.RandomState(0))]
+    assert shapes_w.count((28, 20)) == 6
+
+    # sim_cases: primary only
+    sc = mixed.sim_cases(limit=4)
+    assert sc["grid"].shape == (4, 20, 20)
+
+
+def test_mixed_dataset_train_step_smoke(rng):
+    """A jitted train step runs over mixed-shape batches (retrace per
+    shape) and the loss stays finite for both regimes."""
+    import jax
+    from gnn_pathplanning_tpu.data.dataset import CaseDataset, MixedDataset
+    from gnn_pathplanning_tpu.data.transform import CaseRecord
+    from gnn_pathplanning_tpu.models.dcp import DCPConfig, DCPNet
+    from gnn_pathplanning_tpu.train.trainer import TrainConfig, Trainer
+
+    def make(n_cases, w, n_agents, t, seed):
+        r = np.random.RandomState(seed)
+        recs = []
+        for _ in range(n_cases):
+            states = r.randint(0, w, (t + 1, n_agents, 2)).astype(np.int16)
+            recs.append(CaseRecord(
+                grid=np.zeros((w, w), np.uint8), goals=states[-1].copy(),
+                states=states,
+                actions=r.randint(0, 5, (t, n_agents)).astype(np.int8),
+                radius=5.0, makespan=t, target_makespan=t,
+                target_flowtime=t * n_agents))
+        return CaseDataset(recs)
+
+    ds20 = make(4, 12, 4, 4, 1)
+    ds16 = make(2, 16, 6, 4, 2)
+    mixed = MixedDataset(ds20, ds16)
+    model = DCPNet(DCPConfig(num_taps=2))
+    trainer = Trainer(model, TrainConfig(batch_size=4, max_epoch=2),
+                      "/tmp/mixed_smoke_exp", train_set=mixed,
+                      valid_set=ds20)
+    loss = trainer.train_one_epoch(0)
+    assert np.isfinite(loss)
