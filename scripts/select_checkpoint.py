@@ -65,6 +65,13 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (sitecustomize pins axon; "
                          "the env var does not work on this rig)")
+    ap.add_argument("--ensemble-extra", type=str, default=None,
+                    help="external checkpoint path: additionally score an "
+                         "ensemble of {winner, this} on the pool (logits "
+                         "averaged, trainer.ensemble_states). Reported in "
+                         "the ranking; model_selected stays the single "
+                         "winner (use --ensemble_checkpoints at eval time "
+                         "if the ensemble wins)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -105,6 +112,22 @@ def main():
     rows.sort(key=lambda r: (-r["rate_ReachGoal"], r["mean_deltaFT"]))
     winner = rows[0]["name"]
     state = dict(candidates)[winner]
+
+    if args.ensemble_extra:
+        extra_state, _ = load_checkpoint(args.ensemble_extra, trainer.state)
+        trainer.state = state
+        trainer.ensemble_states = [extra_state]
+        m = trainer.validate_rollout(pool, limit=args.limit,
+                                     label="ensemble")
+        trainer.ensemble_states = []
+        row = dict(name=f"ensemble({winner}+{Path(args.ensemble_extra).stem})",
+                   rate_ReachGoal=m["rate_ReachGoal"],
+                   mean_deltaFT=m["mean_deltaFT"])
+        rows.append(row)
+        rows.sort(key=lambda r: (-r["rate_ReachGoal"], r["mean_deltaFT"]))
+        print(f"{row['name']:48s} rate_ReachGoal="
+              f"{m['rate_ReachGoal']:.4f} dFT={m['mean_deltaFT']:.4f}",
+              flush=True)
     out = ckpt_dir / "model_selected.msgpack"
     out.write_bytes(serialization.to_bytes(state))
     out.with_suffix(".meta.json").write_text(json.dumps(
