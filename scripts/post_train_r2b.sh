@@ -14,9 +14,13 @@ while kill -0 "$PID" 2>/dev/null; do sleep 30; done
 echo "training pid $PID exited at $(date -u)"
 
 echo "=== CHECKPOINT SELECTION (valid2) ==="
+# --ensemble-extra: also score ensemble(winner, leg-1 ep40) on the pool —
+# round 2 showed ensembling between near-equals gains ~+1pp.
+ENSEXTRA="experiments_r2/dcp_map20x20_rho1_10Agent/K3_HS0/1787138167/checkpoints/checkpoint_epoch40.msgpack"
 timeout 3600 python scripts/select_checkpoint.py "$EXP" \
   --pool data2/map20x20_density_p1/10_Agent/valid2 --limit 600 \
-  --last 12 --swa 4 8 2>&1 | grep -v WARNING
+  --last 12 --swa 4 8 \
+  ${ENSEXTRA:+--ensemble-extra "$ENSEXTRA"} 2>&1 | grep -v WARNING
 
 CKPT="$EXP/checkpoints/model_selected.msgpack"
 [ -f "$CKPT" ] || CKPT="$EXP/checkpoints/model_best.msgpack"
