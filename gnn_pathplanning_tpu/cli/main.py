@@ -90,9 +90,20 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    import jax
     if args.cpu:
-        import jax
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache: every CLI invocation is a fresh process
+    # and first-compiles of the rollout/train programs cost minutes over the
+    # tunneled TPU; the eval sweep alone runs 9+ invocations.
+    try:
+        from pathlib import Path as _P
+        jax.config.update("jax_compilation_cache_dir",
+                          str(_P(__file__).resolve().parents[2]
+                              / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     from ..utils.config import load_config, process_config
     overrides = {k: v for k, v in vars(args).items()
                  if k not in ("config", "test_checkpoint", "pretrained",
