@@ -43,12 +43,15 @@ def parse_args():
     p.add_argument("--degree", type=float, default=24.0)
     p.add_argument("--chain", type=int, default=30)
     p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--interpret", action="store_true",
+                   help="interpret-mode smoke run (CPU; timings are "
+                        "meaningless, validates the variants execute)")
     p.add_argument("--out", type=str,
                    default=str(REPO / "benchmarks" / "kernel_anatomy.json"))
     return p.parse_args()
 
 
-def build_variants(pos_pad, valid, r, idx, count, g):
+def build_variants(pos_pad, valid, r, idx, count, g, interpret=False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -80,6 +83,7 @@ def build_variants(pos_pad, valid, r, idx, count, g):
         return pl.pallas_call(
             kernel, grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nb_r * BLOCK, g), jnp.float32),
+            interpret=interpret,
         )(idx, count, r2, *ops_)
 
     # -- bookkeeping: constant index maps (same-block DMAs elided), no body
@@ -188,6 +192,8 @@ def build_variants(pos_pad, valid, r, idx, count, g):
 def main() -> int:
     args = parse_args()
     import jax
+    if args.interpret:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from gnn_pathplanning_tpu.ops.pallas_swarm import (
         block_pair_mask, compact_sender_index, pad_agents, spatial_sort)
@@ -210,7 +216,8 @@ def main() -> int:
         nb = pos_pad.shape[0] // 128
         steps = nb * cap
 
-        variants = build_variants(pos_pad, valid, r, idx, count, args.feats)
+        variants = build_variants(pos_pad, valid, r, idx, count,
+                                  args.feats, interpret=args.interpret)
         row = {"agents": n, "blocks": nb, "cap": cap, "grid_steps": steps,
                "active_pairs": int(np.asarray(mask).sum())}
 
