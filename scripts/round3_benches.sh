@@ -36,12 +36,14 @@ timeout 3600 python benchmarks/swarm_stress.py --agents 8192 --steps 8 \
   --paths compact halo --mxu-weights \
   --out benchmarks/swarm_stress_r3_n8192_mxuw.json 2>&1 | grep -v WARNING | tail -4
 echo "=== SCALING EDGES d=1 anchors === $(date -u)"
+# swarm-scale N so the anchor reflects kernel throughput, not launch overhead
 timeout 1800 python benchmarks/scaling_edges.py --platform tpu --devices 1 \
+  --n-per-device 16384 \
   --out benchmarks/scaling_edges_tpu_r3_dense.json 2>&1 | grep -v WARNING | tail -2
 timeout 1800 python benchmarks/scaling_edges.py --platform tpu --devices 1 \
-  --geometric --cap 16 \
+  --n-per-device 16384 --geometric --cap 16 \
   --out benchmarks/scaling_edges_tpu_r3_geo.json 2>&1 | grep -v WARNING | tail -2
 timeout 1800 python benchmarks/scaling_edges.py --platform tpu --devices 1 \
-  --halo \
+  --n-per-device 16384 --halo \
   --out benchmarks/scaling_edges_tpu_r3_halo.json 2>&1 | grep -v WARNING | tail -2
 echo "round3 benches done at $(date -u)"
