@@ -29,6 +29,9 @@ echo "using checkpoint: $CKPT"
 echo "=== EVAL SWEEP ==="
 timeout 7200 bash scripts/eval_round2.sh "$CKPT" 2>&1 | grep -v WARNING
 
+echo "=== TUNED-COMMR GEN LEGS ==="
+timeout 3600 bash scripts/eval_gen_tuned.sh "$CKPT" 2>&1 | grep -v WARNING
+
 echo "=== TEST ARCHIVE + FIGURES ==="
 timeout 600 python -m gnn_pathplanning_tpu.stats.archive experiments_r2 \
   -o artifacts/test_archive_r3 --label dcpOE-K3-r3 2>&1 | grep -v WARNING
