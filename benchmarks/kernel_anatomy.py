@@ -222,24 +222,38 @@ def main() -> int:
                "active_pairs": int(np.asarray(mask).sum())}
 
         for name, fn in variants.items():
-            @jax.jit
-            def chained(z, fn=fn):
-                def body(_, acc):
-                    out = fn(acc)
-                    return acc * 0.999999 + out * 1e-12
-                return jax.lax.fori_loop(0, args.chain, body, z)
+            # Two chain lengths; the SLOPE (T2-T1)/(c2-c1) is the true
+            # per-call time with any fixed per-dispatch cost (the axon
+            # tunnel adds ~tens of ms per jit invocation) cancelled
+            # exactly. Dividing one chained run by its length does NOT
+            # cancel it: at chain=30 a 25 ms floor masquerades as a flat
+            # ~830 us/call "bookkeeping" cost at every N.
+            def timed(chain, fn=fn):
+                @jax.jit
+                def chained(z):
+                    def body(_, acc):
+                        out = fn(acc)
+                        return acc * 0.999999 + out * 1e-12
+                    return jax.lax.fori_loop(0, chain, body, z)
 
-            jax.block_until_ready(chained(x_pad))  # compile + warm
-            best = np.inf
-            for _ in range(args.reps):
-                t0 = time.perf_counter()
-                jax.block_until_ready(chained(x_pad))
-                best = min(best, time.perf_counter() - t0)
-            per_call = best / args.chain
+                jax.block_until_ready(chained(x_pad))  # compile + warm
+                best = np.inf
+                for _ in range(args.reps):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(chained(x_pad))
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
+            c1, c2 = args.chain, 4 * args.chain
+            t1, t2 = timed(c1), timed(c2)
+            per_call = (t2 - t1) / (c2 - c1)
+            floor = t1 - c1 * per_call
             row[name + "_per_call_s"] = per_call
             row[name + "_ns_per_step"] = 1e9 * per_call / steps
+            row[name + "_dispatch_floor_s"] = floor
             print(f"N={n} {name:14s} {per_call * 1e6:9.1f} us/call "
-                  f"{1e9 * per_call / steps:7.1f} ns/step", flush=True)
+                  f"{1e9 * per_call / steps:7.1f} ns/step "
+                  f"(floor {floor * 1e3:6.2f} ms)", flush=True)
         rows.append(row)
 
     result = {"platform": jax.devices()[0].platform,
