@@ -79,11 +79,18 @@ def main() -> int:
     mesh = Mesh(np.array(jax.devices()[:1]), ("agents",))
     key = jax.random.PRNGKey(7)
 
+    starts_j = jnp.asarray(starts)
+    goals_j = jnp.asarray(goals)
+
     def run(path):
+        # jit the WHOLE rollout: called eagerly, shard_map/scan retrace per
+        # call and every surrounding eager op pays this rig's ~25 ms
+        # per-dispatch tunnel floor — at N=2048 that polluted the measured
+        # time ~50x (22.6 s/rollout eager vs device time under jit).
         if path == "halo":
-            def f():
-                return swarm_rollout_halo(mesh, variables, grid, starts,
-                                          goals, args.radius, steps, key,
+            def rollout(s, g, k):
+                return swarm_rollout_halo(mesh, variables, grid, s, g,
+                                          args.radius, steps, k,
                                           geometric=True, cap=args.cap,
                                           mxu_weights=args.mxu_weights)
         else:
@@ -92,15 +99,16 @@ def main() -> int:
                 kw["cap"] = args.cap
             if path != "dense":
                 kw["mxu_weights"] = args.mxu_weights
-            def f():
-                return swarm_rollout(mesh, variables, grid, starts, goals,
-                                     args.radius, steps, key, **kw)
-        out = f()
+            def rollout(s, g, k):
+                return swarm_rollout(mesh, variables, grid, s, g,
+                                     args.radius, steps, k, **kw)
+        f = jax.jit(rollout)
+        out = f(starts_j, goals_j, key)
         jax.block_until_ready(out.paths)     # compile + warm
         ts = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            out = f()
+            out = f(starts_j, goals_j, key)
             jax.block_until_ready(out.paths)
             ts.append(time.perf_counter() - t0)
         dt = min(ts)
