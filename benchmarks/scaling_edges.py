@@ -129,17 +129,34 @@ def measure(n_devices: int, args) -> dict:
             return graph_filter_body(x_loc, s_cols, w, None, "agents")
         check = True
 
-    step = jax.jit(shard_map(
+    sharded = shard_map(
         body, mesh=mesh, in_specs=(P("agents", None), P("agents", None)),
-        out_specs=P("agents", None), check_vma=check))
+        out_specs=P("agents", None), check_vma=check)
 
-    y = step(pos_j, x)  # compile
-    jax.block_until_ready(y)
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        y = step(pos_j, x)
-    jax.block_until_ready(y)
-    dt = time.perf_counter() - t0
+    # Chain applications inside ONE jit and take the slope between two
+    # chain lengths: per-dispatch floors (this rig's tunnel adds ~25 ms,
+    # and Mosaic-containing programs do not pipeline across dispatches)
+    # cancel exactly. A python loop of step() calls measured the floor,
+    # not the kernel, for the pallas paths.
+    def timed(c, reps=3):
+        @jax.jit
+        def chained(p, z):
+            def it(_, acc):
+                out = sharded(p, acc)
+                return acc * 0.999999 + out * 1e-12
+            return jax.lax.fori_loop(0, c, it, z)
+
+        jax.block_until_ready(chained(pos_j, x))  # compile + warm
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(chained(pos_j, x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    c1, c2 = 1, max(2, args.iters)
+    t1, t2 = timed(c1), timed(c2)
+    dt = (t2 - t1) / (c2 - c1) * args.iters  # per-iter slope x iters
 
     hops = args.taps - 1
     edges_per_s = edges * hops * args.iters / dt
