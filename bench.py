@@ -143,18 +143,26 @@ def swarm_secondary(n: int = 2048, steps: int = 8) -> dict:
     mesh = Mesh(np.array(jax.devices()[:1]), ("agents",))
     on_tpu = jax.devices()[0].platform != "cpu"
 
-    def run():
-        return swarm_rollout(mesh, variables, grid, starts, goals, 6.0,
-                             steps, jax.random.PRNGKey(7),
+    import jax.numpy as jnp
+    starts_j, goals_j = jnp.asarray(starts), jnp.asarray(goals)
+
+    # jit the WHOLE rollout: eager shard_map/scan retraces per call and
+    # every surrounding eager op pays the tunnel's ~25 ms dispatch floor,
+    # which polluted the eager measurement ~50x at this scale.
+    @jax.jit
+    def run(s, g, k):
+        return swarm_rollout(mesh, variables, grid, s, g, 6.0,
+                             steps, k,
                              geometric=on_tpu, cap=16 if on_tpu else None,
                              interpret=False)
 
-    out = run()
+    key7 = jax.random.PRNGKey(7)
+    out = run(starts_j, goals_j, key7)
     jax.block_until_ready(out.paths)         # compile + warm
     best = np.inf
     for _ in range(2):
         t0 = time.perf_counter()
-        out = run()
+        out = run(starts_j, goals_j, key7)
         jax.block_until_ready(out.paths)
         best = min(best, time.perf_counter() - t0)
     rounds = np.asarray(out.shield_rounds)
