@@ -174,8 +174,27 @@ def build_variants(pos_pad, valid, r, idx, count, g, interpret=False):
             out_ref[:] += jnp.dot(w_t.astype(x_ref.dtype), x_ref[:],
                                   preferred_element_type=jnp.float32)
 
+    # -- cached-weights route: build once (weights+degrees), then each
+    # SpMM step is pure DMA + matmul (no VPU weight recompute)
+    from gnn_pathplanning_tpu.ops.pallas_swarm import (
+        geometric_spmm_cached, geometric_weights_compact)
+    wblocks_const, _ = geometric_weights_compact(
+        pos_pad, r, valid, idx, count, interpret=interpret)
+
+    def full_cached(x):
+        # pos depends on x at runtime (adds exactly 0.0 in f32) so the
+        # build cannot be hoisted out of the timing chain
+        pos_dep = pos_pad + x[0, 0] * 1e-30
+        wb, deg = geometric_weights_compact(pos_dep, r, valid, idx, count,
+                                            interpret=interpret)
+        return geometric_spmm_cached(wb, x, idx, count,
+                                     interpret=interpret) + deg[:, None] * 0
+
     return {
         "bookkeeping": lambda x: call(k_book, [const_spec], x),
+        "spmm_cached": lambda x: geometric_spmm_cached(
+            wblocks_const, x, idx, count, interpret=interpret),
+        "wbuild_spmm_cached": full_cached,
         "dma_only": lambda x: call(k_dma, [x_spec], x),
         "matmul_only": lambda x: call(k_mm, [x_spec], x),
         "degrees_vpu": lambda x: call(k_deg_vpu, [send_v, recv_v, const_spec],

@@ -542,6 +542,138 @@ def geometric_degrees_compact(pos: jax.Array, radius, valid: jax.Array,
     return out.reshape(nb_r, _SUB, BLOCK)[:, 0].reshape(-1)
 
 
+# ------------------------------------------------- cached pair weights
+# The slope-timed anatomy (benchmarks/kernel_anatomy_r3.json) decomposes
+# the compact SpMM step at N=16k as 389 ns = 42 DMA + ~70 MXU matmul +
+# ~240 VPU pair-weight recompute + 22 bookkeeping: the weight recompute is
+# the dominant SERIAL term, and one filter application recomputes the same
+# weights K times (degree pass + K-1 hops). Building the 0/1 blocks ONCE
+# per application into HBM (bf16: exact for 0/1) turns each hop into a
+# pure DMA+matmul step — weight cost drops from ~240 ns of VPU compute to
+# ~40 ns of extra DMA, paid once more at build time.
+
+
+def _weights_build_kernel(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref,
+                          w_ref, deg_ref):
+    """One compact-grid pass producing both the [send, recv] 0/1 weight
+    block of each (receiver j, slot k) pair and the receiver degrees."""
+    j, k = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        deg_ref[:] = jnp.zeros_like(deg_ref)
+
+    @pl.when(k < cnt_ref[j])
+    def _():
+        w = _pair_weights(*_unpack(pi_ref), *_unpack(pj_ref), r2_ref[0])
+        w_ref[:] = w.astype(w_ref.dtype)
+        deg_ref[0, :] += jnp.sum(w, axis=0)
+
+    @pl.when(k >= cnt_ref[j])
+    def _():
+        # fill slots must read as zero in the cached SpMM
+        w_ref[:] = jnp.zeros_like(w_ref)
+
+
+def geometric_weights_compact(pos: jax.Array, radius, valid: jax.Array,
+                              idx: jax.Array, count: jax.Array,
+                              interpret: bool = False,
+                              recv_pos: jax.Array | None = None,
+                              recv_valid: jax.Array | None = None,
+                              dtype=jnp.bfloat16):
+    """Materialize the compact grid's pair-weight blocks + degrees.
+
+    Returns ``(wblocks, degrees)`` with ``wblocks`` shaped
+    ``[(NB_r * cap) * BLOCK, BLOCK]`` (row-block ``j * cap + k`` holds the
+    [send, recv]-oriented 0/1 weights of receiver block j's k-th active
+    sender; fill slots zeroed) and ``degrees`` shaped ``[N_r]``. bf16
+    storage is exact for 0/1 weights and halves the per-hop DMA."""
+    nb_r = (recv_pos if recv_pos is not None else pos).shape[0] // BLOCK
+    n_r = nb_r * BLOCK
+    cap = idx.shape[1]
+    r2 = (jnp.asarray(radius, jnp.float32) ** 2).reshape(1)
+    ps = _planes(pos, valid)
+    pr = ps if recv_pos is None else _planes(recv_pos, recv_valid)
+    send, recv = _compact_plane_specs()
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb_r, cap),
+        in_specs=[send, recv],
+        out_specs=[
+            pl.BlockSpec((BLOCK, BLOCK),
+                         lambda j, k, *_: (j * cap + k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SUB, BLOCK), lambda j, k, *_: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ])
+    vma = _join_vma(idx, ps, pr)
+    wblocks, deg = pl.pallas_call(
+        _weights_build_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb_r * cap * BLOCK, BLOCK), dtype,
+                                 vma=vma),
+            jax.ShapeDtypeStruct((nb_r * _SUB, BLOCK), jnp.float32,
+                                 vma=vma),
+        ],
+        interpret=interpret,
+    )(idx, count, r2, ps, pr)
+    return wblocks, deg.reshape(nb_r, _SUB, BLOCK)[:, 0].reshape(-1)[:n_r]
+
+
+def _make_spmm_kernel_cached():
+    def kernel(idx_ref, cnt_ref, w_ref, x_ref, out_ref):
+        j, k = pl.program_id(0), pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        @pl.when(k < cnt_ref[j])
+        def _():
+            w = w_ref[:].astype(jnp.float32)        # [send, recv] 0/1
+            out_ref[:] += jnp.dot(w.T, x_ref[:],
+                                  preferred_element_type=jnp.float32)
+
+    return kernel
+
+
+def geometric_spmm_cached(wblocks: jax.Array, x: jax.Array,
+                          idx: jax.Array, count: jax.Array,
+                          interpret: bool = False) -> jax.Array:
+    """Compact-grid SpMM over pre-built weight blocks (see
+    :func:`geometric_weights_compact`): each step DMAs one weight block +
+    one sender x-block and runs the MXU matmul — no position planes, no
+    weight recompute. Fill slots map to the last active weight block
+    (consecutive-same DMAs are elided) and stay @pl.when-guarded."""
+    g = x.shape[1]
+    cap = idx.shape[1]
+    nb_r = wblocks.shape[0] // (cap * BLOCK)
+    n_r = nb_r * BLOCK
+
+    w_spec = pl.BlockSpec(
+        (BLOCK, BLOCK),
+        lambda j, k, idx_ref, cnt: (
+            j * cap + jnp.minimum(k, jnp.maximum(cnt[j] - 1, 0)), 0),
+        memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec(
+        (BLOCK, g), lambda j, k, idx_ref, cnt: (idx_ref[j, k], 0),
+        memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb_r, cap),
+        in_specs=[w_spec, x_spec],
+        out_specs=pl.BlockSpec((BLOCK, g), lambda j, k, *_: (j, 0),
+                               memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        _make_spmm_kernel_cached(),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_r, g), jnp.float32,
+                                       vma=_join_vma(idx, wblocks, x)),
+        interpret=interpret,
+    )(idx, count, wblocks, x)
+
+
 def geometric_spmm_compact(pos: jax.Array, x: jax.Array, radius,
                            valid: jax.Array, idx: jax.Array,
                            count: jax.Array, interpret: bool = False,
@@ -682,7 +814,8 @@ def make_geometric_ops(send_pos: jax.Array, send_valid: jax.Array, radius,
                        recv_pos: jax.Array | None = None,
                        recv_valid: jax.Array | None = None,
                        cap: int | None = None, interpret: bool = False,
-                       mxu_weights: bool = False):
+                       mxu_weights: bool = False,
+                       cache_weights: bool = False):
     """Build ``(degrees_fn, spmm_fn)`` over the radius graph between a
     padded sender set and an (optionally rectangular) padded receiver set.
 
@@ -691,6 +824,12 @@ def make_geometric_ops(send_pos: jax.Array, send_valid: jax.Array, radius,
     to the exhaustive grid if any receiver block exceeds ``cap`` active
     senders, so results are exact either way. Shared by the single-chip
     filter and the sharded rollout/halo filter bodies.
+
+    ``cache_weights`` (requires ``cap``) materializes the 0/1 pair-weight
+    blocks once (:func:`geometric_weights_compact`) so the degree pass and
+    every hop reuse them instead of recomputing on the VPU — the dominant
+    serial term of the fused step (kernel_anatomy_r3). Exact: 0/1 weights
+    are exactly representable in the bf16 cache.
     """
     mask = block_pair_mask(send_pos, radius, send_valid,
                            recv_pos, recv_valid)
@@ -706,6 +845,33 @@ def make_geometric_ops(send_pos: jax.Array, send_valid: jax.Array, radius,
         return degrees_fn, spmm_fn
 
     idx, count, overflow = compact_sender_index(mask, cap)
+
+    if cache_weights:
+        # Built once per make_geometric_ops trace; under overflow the
+        # blocks are unused (the exhaustive fallback recomputes exactly).
+        wblocks, deg_cached = geometric_weights_compact(
+            send_pos, radius, send_valid, idx, count, interpret,
+            recv_pos, recv_valid)
+
+        def degrees_fn():
+            return jax.lax.cond(
+                overflow,
+                lambda a: geometric_degrees(a[0], radius, a[1], mask,
+                                            interpret, recv_pos,
+                                            recv_valid),
+                lambda a: deg_cached,
+                (send_pos, send_valid))
+
+        def spmm_fn(z):
+            return jax.lax.cond(
+                overflow,
+                lambda a: geometric_spmm(a[0], a[1], radius, a[2], mask,
+                                         interpret, recv_pos, recv_valid),
+                lambda a: geometric_spmm_cached(wblocks, a[1], idx, count,
+                                                interpret),
+                (send_pos, z, send_valid))
+
+        return degrees_fn, spmm_fn
 
     def degrees_fn():
         return jax.lax.cond(
@@ -737,7 +903,8 @@ def graph_filter_geometric(pos: jax.Array, x: jax.Array, radius,
                            valid: jax.Array | None = None,
                            interpret: bool = False,
                            cap: int | None = None,
-                           mxu_weights: bool = False) -> jax.Array:
+                           mxu_weights: bool = False,
+                           cache_weights: bool = False) -> jax.Array:
     """Full K-tap graph filter over the radius graph without materializing
     the GSO: matches ``ops.graph_filter(x, normalize(adjacency(pos, r)), w,
     b)`` on the valid lanes.
@@ -758,7 +925,8 @@ def graph_filter_geometric(pos: jax.Array, x: jax.Array, radius,
         valid = jnp.ones((n,), jnp.float32)
     degrees_fn, spmm = make_geometric_ops(pos, valid, radius, cap=cap,
                                           interpret=interpret,
-                                          mxu_weights=mxu_weights)
+                                          mxu_weights=mxu_weights,
+                                          cache_weights=cache_weights)
     deg = degrees_fn()
     inv_sqrt = jnp.where(deg > 1e-9, jax.lax.rsqrt(jnp.maximum(deg, 1e-9)),
                          0.0)

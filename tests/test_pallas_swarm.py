@@ -311,3 +311,71 @@ def test_compact_spmm_multi_sender_mxu_weights(rng, s_step):
         pos_p, x_p, r, valid, idx, count, interpret=True,
         senders_per_step=s_step, mxu_weights=True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_cached_weights_spmm_matches_compact(rng):
+    """weights-build + cached SpMM == recompute compact grid (interpret),
+    including rectangular receivers and degree agreement."""
+    n, g, r = 500, 16, 8.0
+    pos = _swarm(rng, n, world=120)
+    order = np.asarray(ps.spatial_sort(jnp.asarray(pos), cell=r))
+    pos = pos[order]
+    pos_p, x_p, valid = ps.pad_agents(jnp.asarray(pos),
+                                      jnp.asarray(rng.rand(n, g)
+                                                  .astype(np.float32)))
+    mask = ps.block_pair_mask(pos_p, r, valid)
+    cap = int(np.asarray(mask).sum(axis=0).max()) + 1  # exercise fill slots
+    idx, count, overflow = ps.compact_sender_index(mask, cap)
+    assert not bool(overflow)
+
+    wblocks, deg = ps.geometric_weights_compact(pos_p, r, valid, idx,
+                                                count, interpret=True)
+    want_deg = np.asarray(ps.geometric_degrees_compact(
+        pos_p, r, valid, idx, count, interpret=True))
+    np.testing.assert_allclose(np.asarray(deg), want_deg, rtol=0, atol=0)
+
+    want = np.asarray(ps.geometric_spmm_compact(pos_p, x_p, r, valid, idx,
+                                                count, interpret=True))
+    got = np.asarray(ps.geometric_spmm_cached(wblocks, x_p, idx, count,
+                                              interpret=True))
+    # 0/1 weights are exact in bf16, so the matmuls see identical operands
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+    # rectangular receiver set (first block only)
+    recv_p, _, recv_v = ps.pad_agents(jnp.asarray(pos[:ps.BLOCK]))
+    mask_r = ps.block_pair_mask(pos_p, r, valid, recv_p, recv_v)
+    cap_r = int(np.asarray(mask_r).sum(axis=0).max())
+    idx_r, count_r, ovf_r = ps.compact_sender_index(mask_r, cap_r)
+    assert not bool(ovf_r)
+    wb_r, deg_r = ps.geometric_weights_compact(
+        pos_p, r, valid, idx_r, count_r, interpret=True,
+        recv_pos=recv_p, recv_valid=recv_v)
+    want_r = np.asarray(ps.geometric_spmm_compact(
+        pos_p, x_p, r, valid, idx_r, count_r, interpret=True,
+        recv_pos=recv_p, recv_valid=recv_v))
+    got_r = np.asarray(ps.geometric_spmm_cached(wb_r, x_p, idx_r, count_r,
+                                                interpret=True))
+    np.testing.assert_allclose(got_r, want_r, rtol=0, atol=0)
+
+
+def test_graph_filter_geometric_cache_weights(rng):
+    """Full K-tap filter with cache_weights == dense oracle, including the
+    overflow fallback branch."""
+    n, g, f, k, r = 300, 8, 4, 3, 10.0
+    pos = _swarm(rng, n, world=50)
+    order = np.asarray(ps.spatial_sort(jnp.asarray(pos), cell=r))
+    pos = pos[order]
+    x = rng.rand(n, g).astype(np.float32)
+    w = rng.randn(k, g, f).astype(np.float32) * 0.1
+    pos_p, x_p, valid = ps.pad_agents(jnp.asarray(pos), jnp.asarray(x))
+    mask = ps.block_pair_mask(pos_p, r, valid)
+    true_max = int(np.asarray(mask).sum(axis=0).max())
+
+    s, _, _ = compute_gso(jnp.asarray(pos), jnp.float32(r))
+    want = np.asarray(graph_filter(jnp.asarray(x)[None], s[None],
+                                   jnp.asarray(w))[0])
+    for cap in (true_max - 1, true_max):  # overflow fallback and cached path
+        got = np.asarray(ps.graph_filter_geometric(
+            pos_p, x_p, r, jnp.asarray(w), valid=valid, interpret=True,
+            cap=cap, cache_weights=True))[:n]
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
