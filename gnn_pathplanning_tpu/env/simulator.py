@@ -110,7 +110,8 @@ class Rollout(NamedTuple):
 
 
 def collision_shield(cur: jax.Array, prop: jax.Array, key: jax.Array,
-                     pri: jax.Array | None = None):
+                     pri: jax.Array | None = None,
+                     extent: tuple[int, int] | None = None):
     """Resolve vertex and swap conflicts (fixed point of masked updates).
 
     Args:
@@ -121,6 +122,15 @@ def collision_shield(cur: jax.Array, prop: jax.Array, key: jax.Array,
         conflict) overriding the random draw — used for deterministic
         winner rules (e.g. behavioral-parity tests against the reference
         with its ``random.choice`` pinned to the highest agent index).
+      extent: optional static world size ``(W, H)``. When given, each
+        round runs on scatter grids in O(N + W*H) instead of O(N^2)
+        pairwise matrices — decision-identical (groups are "same proposed
+        cell", the winner compares the same priorities via scatter-max,
+        and the swap partner is unique because current positions are
+        pairwise distinct), but at swarm scale it replaces the [N, N]
+        materializations that dominate the step (N=8192: ~268 MB per
+        matrix per round). The dense route stays the default for small N
+        and for callers without a static world size.
 
     Returns:
       (next, shielded, unresolved, rounds): final positions, whether any
@@ -139,34 +149,73 @@ def collision_shield(cur: jax.Array, prop: jax.Array, key: jax.Array,
     n = cur.shape[0]
     if pri is None:
         pri = jax.random.uniform(key, (n,))
-    eye = jnp.eye(n, dtype=bool)
 
-    def same_cell(a, b):
-        return jnp.all(a[:, None, :] == b[None, :, :], axis=-1)
+    if extent is not None:
+        w, h = extent
+        wh = w * h
+        ids = jnp.arange(n, dtype=jnp.int32)
 
-    def conflicts_remain(prop):
-        same = same_cell(prop, prop)
-        vertex = jnp.any(jnp.sum(same, axis=-1) > 1)
-        into_cur = same_cell(prop, cur) & ~eye
-        return vertex | jnp.any(into_cur & into_cur.T)
+        def cell(p):
+            return p[:, 0].astype(jnp.int32) * h + p[:, 1].astype(jnp.int32)
 
-    def round_fn(prop):
-        stopped = jnp.all(prop == cur, axis=-1)              # [N]
-        same = same_cell(prop, prop)                          # [N, N]
-        group_size = jnp.sum(same, axis=-1)
-        in_conflict = group_size > 1
-        group_has_stopped = jnp.any(same & stopped[None, :], axis=-1)
-        masked_pri = jnp.where(same, pri[None, :], -jnp.inf)
-        winner = pri >= jnp.max(masked_pri, axis=-1)
-        stop_vertex = in_conflict & (group_has_stopped | ~winner)
-        prop = jnp.where(stop_vertex[:, None], cur, prop)
+        cur_c = cell(cur)
+        # current positions are pairwise distinct -> occupant is unique
+        occupant = jnp.full((wh,), -1, jnp.int32).at[cur_c].set(ids)
 
-        # Swap: i moves into j's current cell while j moves into i's.
-        into_cur = same_cell(prop, cur) & ~eye                # prop_i == cur_j
-        swap = into_cur & into_cur.T
-        swap_i = jnp.any(swap, axis=-1)
-        prop = jnp.where(swap_i[:, None], cur, prop)
-        return prop
+        def swap_mask(prop):
+            # i swaps with j iff prop_i == cur_j and prop_j == cur_i;
+            # j (if any) is the unique occupant of i's target cell
+            o = occupant[cell(prop)]                          # [N]
+            valid = (o >= 0) & (o != ids)
+            mutual = jnp.all(prop[jnp.maximum(o, 0)] == cur, axis=-1)
+            return valid & mutual
+
+        def conflicts_remain(prop):
+            count = jnp.zeros((wh,), jnp.int32).at[cell(prop)].add(1)
+            return jnp.any(count > 1) | jnp.any(swap_mask(prop))
+
+        def round_fn(prop):
+            stopped = jnp.all(prop == cur, axis=-1)           # [N]
+            pc = cell(prop)
+            count = jnp.zeros((wh,), jnp.int32).at[pc].add(1)
+            has_stop = (jnp.zeros((wh,), jnp.int32)
+                        .at[pc].max(stopped.astype(jnp.int32)))
+            gmax = jnp.full((wh,), -jnp.inf, jnp.float32).at[pc].max(pri)
+            in_conflict = count[pc] > 1
+            winner = pri >= gmax[pc]
+            stop_vertex = in_conflict & ((has_stop[pc] > 0) | ~winner)
+            prop = jnp.where(stop_vertex[:, None], cur, prop)
+            prop = jnp.where(swap_mask(prop)[:, None], cur, prop)
+            return prop
+    else:
+        eye = jnp.eye(n, dtype=bool)
+
+        def same_cell(a, b):
+            return jnp.all(a[:, None, :] == b[None, :, :], axis=-1)
+
+        def conflicts_remain(prop):
+            same = same_cell(prop, prop)
+            vertex = jnp.any(jnp.sum(same, axis=-1) > 1)
+            into_cur = same_cell(prop, cur) & ~eye
+            return vertex | jnp.any(into_cur & into_cur.T)
+
+        def round_fn(prop):
+            stopped = jnp.all(prop == cur, axis=-1)           # [N]
+            same = same_cell(prop, prop)                      # [N, N]
+            group_size = jnp.sum(same, axis=-1)
+            in_conflict = group_size > 1
+            group_has_stopped = jnp.any(same & stopped[None, :], axis=-1)
+            masked_pri = jnp.where(same, pri[None, :], -jnp.inf)
+            winner = pri >= jnp.max(masked_pri, axis=-1)
+            stop_vertex = in_conflict & (group_has_stopped | ~winner)
+            prop = jnp.where(stop_vertex[:, None], cur, prop)
+
+            # Swap: i moves into j's current cell while j moves into i's.
+            into_cur = same_cell(prop, cur) & ~eye            # prop_i == cur_j
+            swap = into_cur & into_cur.T
+            swap_i = jnp.any(swap, axis=-1)
+            prop = jnp.where(swap_i[:, None], cur, prop)
+            return prop
 
     def cond(carry):
         i, p = carry

@@ -271,7 +271,8 @@ def swarm_rollout_halo(mesh: Mesh, variables, grid: jax.Array,
             prop_all = jax.lax.all_gather(prop, axis, tiled=True)   # [N, 2]
             prop_full = jnp.zeros_like(pos_full).at[ids].set(prop_all)
             nxt_full, _, _, rounds = collision_shield(pos_full, prop_full,
-                                                      step_key)
+                                                      step_key,
+                                                      extent=(w, h))
             reached_full = reached_full | jnp.all(nxt_full == goals_full,
                                                   axis=-1)
             # per-chip identity-order slice for the paths output
@@ -338,9 +339,25 @@ def swarm_rollout(mesh: Mesh, variables, grid: jax.Array, starts: jax.Array,
                                  occupancy_pos=pos_full)
             feat_loc = dcp_encode(variables, obs_loc)
             if geometric:
-                y_loc = jax.nn.relu(geometric_filter_body(
-                    feat_loc, pos_loc, pos_full, r, taps, gfl_bias, axis,
+                # Per-step spatial sort (per shard, like the halo path's
+                # strips): without it agent order is identity/random, every
+                # block's bounding box spans the world, the block-pair mask
+                # is all-active and the compact grid permanently overflows
+                # to the exhaustive fallback — measured: geometric ==
+                # compact at N=8192 (swarm_stress_r3). Sorting restores the
+                # block-banded structure; the filter sum is permutation-
+                # invariant (up to f32 summation order) and the output is
+                # unpermuted back to local agent order.
+                from ..ops.pallas_swarm import spatial_sort
+                perm = spatial_sort(pos_loc.astype(jnp.float32), cell=r)
+                inv = jnp.argsort(perm)
+                pos_s = pos_loc[perm]
+                feat_s = feat_loc[perm]
+                pos_full_s = jax.lax.all_gather(pos_s, axis, tiled=True)
+                y_s = jax.nn.relu(geometric_filter_body(
+                    feat_s, pos_s, pos_full_s, r, taps, gfl_bias, axis,
                     interpret=interpret, cap=cap, mxu_weights=mxu_weights))
+                y_loc = y_s[inv]
             else:
                 s_cols = gso_cols_body(pos_loc.astype(jnp.float32), r, axis)
                 y_loc = jax.nn.relu(
@@ -357,7 +374,8 @@ def swarm_rollout(mesh: Mesh, variables, grid: jax.Array, starts: jax.Array,
 
             prop_full = jax.lax.all_gather(prop, axis, tiled=True)
             nxt_full, _, _, rounds = collision_shield(pos_full, prop_full,
-                                                      step_key)
+                                                      step_key,
+                                                      extent=(w, h))
             nxt_loc = jax.lax.dynamic_slice_in_dim(nxt_full, shard * n_loc,
                                                    n_loc)
             reached_loc = reached_loc | jnp.all(nxt_loc == goals_loc, axis=-1)

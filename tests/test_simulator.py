@@ -279,3 +279,53 @@ def test_deadlock_break_escapes_swap_standoff():
                        key=KEY, deadlock_break=2)
     assert not np.array_equal(np.asarray(on.final_pos[0]),
                               [[1, 1], [1, 2]])
+
+
+def test_collision_shield_grid_matches_dense():
+    """extent= (grid scatter) shield must make decisions identical to the
+    dense O(N^2) route: fuzzed swarms plus crafted vertex/swap/chain
+    cases. Exactness matters — the swarm rollouts use the grid route while
+    the reference-parity suites pin the dense route's behavior."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gnn_pathplanning_tpu.env.simulator import collision_shield
+
+    w = h = 12
+    rng = np.random.RandomState(7)
+    deltas = np.array([[0, 1], [-1, 0], [0, -1], [1, 0], [0, 0]], np.int32)
+
+    def run_case(cur, prop, pri, n):
+        key = jax.random.PRNGKey(0)
+        outs = []
+        for extent in (None, (w, h)):
+            nxt, sh, unres, rounds = collision_shield(
+                jnp.asarray(cur), jnp.asarray(prop), key,
+                pri=jnp.asarray(pri), extent=extent)
+            outs.append((np.asarray(nxt), bool(sh), bool(unres),
+                         int(rounds)))
+        (nd, sd, ud, rd), (ng, sg, ug, rg) = outs
+        np.testing.assert_array_equal(nd, ng)
+        assert (sd, ud, rd) == (sg, ug, rg)
+
+    # fuzz: dense-ish swarms with many conflicts
+    for trial in range(25):
+        n = rng.randint(2, 40)
+        cells = rng.choice(w * h, size=n, replace=False)
+        cur = np.stack([cells // h, cells % h], -1).astype(np.int32)
+        prop = cur + deltas[rng.randint(0, 5, n)]
+        prop = np.clip(prop, 0, [[w - 1, h - 1]]).astype(np.int32)
+        pri = rng.rand(n).astype(np.float32)
+        run_case(cur, prop, pri, n)
+
+    # crafted: vertex conflict with a stopped occupant + swap pair + a
+    # chain that needs multiple rounds
+    cur = np.array([[5, 5], [5, 4], [5, 6], [2, 2], [2, 3],
+                    [8, 8], [8, 7]], np.int32)
+    prop = np.array([[5, 5],            # stays (stopped occupant)
+                     [5, 5], [5, 5],    # both into the stopped agent's cell
+                     [2, 3], [2, 2],    # swap pair
+                     [8, 7], [8, 6]],   # chain: 5 follows 6's vacated cell
+                    np.int32)
+    pri = np.arange(7, dtype=np.float32)
+    run_case(cur, prop, pri, 7)
