@@ -46,7 +46,10 @@ python -m gnn_pathplanning_tpu.cli.main --mode test --test_checkpoint "$CKPT" \
 
 # Framework-native opt-in: decentralized deadlock-break (k=3, chosen on
 # valid2 — scripts/sweep_deadlock_break.py). Reported SEPARATELY from the
-# reference-semantics numbers above.
+# reference-semantics numbers above. Opt-in via EVAL_DLB=1: four extra
+# legs (~25 min + compiles) the round-2 archive already characterizes;
+# skipped by default so the post-train chain fits a round's clock.
+if [ "${EVAL_DLB:-0}" = "1" ]; then
 python -m gnn_pathplanning_tpu.cli.main configs/dcp_onlineExpert.json \
     --mode test --test_checkpoint "$CKPT" --num_testset 4440 \
     --deadlock_break 3 "${COMMON[@]}" "$@"
@@ -59,3 +62,4 @@ python -m gnn_pathplanning_tpu.cli.main --mode test --test_checkpoint "$CKPT" \
 python -m gnn_pathplanning_tpu.cli.main --mode test --test_checkpoint "$CKPT" \
     --map_w 40 --map_h 40 --num_agents 64 --commR 11 --num_testset 20 \
     --map_type random --deadlock_break 3 "${COMMON[@]}" "$@"
+fi

@@ -113,6 +113,18 @@ deg_mxuw = jax.jit(lambda: geometric_degrees_compact(
 deg_vpu = jax.jit(lambda: geometric_degrees_compact(
     pos2_p, 6.0, valid2, cidx, ccount))()
 
+# Cached pair-weight blocks on the real chip: build once (weights +
+# degrees in one pass), reuse for the SpMM — must match the recompute
+# grid bit-for-bit (0/1 weights are exact in the bf16 cache, so the same
+# operands reach the same matmul).
+from gnn_pathplanning_tpu.ops.pallas_swarm import (geometric_spmm_cached,
+                                                   geometric_weights_compact)
+
+wb_c, deg_cached = jax.jit(lambda: geometric_weights_compact(
+    pos2_p, 6.0, valid2, cidx, ccount))()
+spmm_cached = jax.jit(lambda w: geometric_spmm_cached(w, x2_p, cidx,
+                                                      ccount))(wb_c)
+
 # --- B=4440 FOV + forward canary (the round-2 miscompile class: an
 # XLA:TPU scatter at >=24k windows silently zeroed the goal channel and a
 # full eval sweep scored 0.005 while CPU scored 0.886 — ROUND2.md). Renders
@@ -148,6 +160,8 @@ np.savez(out_path, dense=np.asarray(dense), geo=np.asarray(geo),
          spmm_s4=np.asarray(spmm_s4), spmm_bf16=np.asarray(spmm_bf16),
          spmm_mxuw=np.asarray(spmm_mxuw), deg_mxuw=np.asarray(deg_mxuw),
          deg_vpu=np.asarray(deg_vpu),
+         spmm_cached=np.asarray(spmm_cached),
+         deg_cached=np.asarray(deg_cached),
          fov4440=np.asarray(obs4440), acts4440=acts4440)
 print("tpu child ok")
 """
@@ -340,3 +354,14 @@ def test_mxu_weights_exact_on_tpu(tpu_results):
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
     deg = tpu_results["deg_mxuw"][tpu_results["valid2"].astype(bool)]
     np.testing.assert_array_equal(deg, w.sum(axis=0))
+
+
+def test_cached_weights_exact_on_tpu(tpu_results):
+    """Real-TPU cached pair-weight route: the bf16 0/1 weight cache must
+    reproduce the recompute grid bit-for-bit — degrees from the build
+    pass equal the VPU recompute's, and the cached SpMM equals the
+    one-sender compact SpMM exactly (same operands, same matmul)."""
+    np.testing.assert_array_equal(tpu_results["deg_cached"],
+                                  tpu_results["deg_vpu"])
+    np.testing.assert_array_equal(tpu_results["spmm_cached"],
+                                  tpu_results["spmm_s1"])
