@@ -66,12 +66,14 @@ def main():
                     help="force the CPU backend (sitecustomize pins axon; "
                          "the env var does not work on this rig)")
     ap.add_argument("--ensemble-extra", type=str, default=None,
-                    help="external checkpoint path: additionally score an "
-                         "ensemble of {winner, this} on the pool (logits "
-                         "averaged, trainer.ensemble_states). Reported in "
-                         "the ranking; model_selected stays the single "
-                         "winner (use --ensemble_checkpoints at eval time "
-                         "if the ensemble wins)")
+                    help="external checkpoint path: scored STANDALONE as a "
+                         "candidate (so a fine-tune that never beats its "
+                         "seed cannot demote model_selected below the "
+                         "seed) and additionally as an ensemble of "
+                         "{winner, this} (logits averaged). The ensemble "
+                         "row is ranking-only; model_selected is the best "
+                         "single candidate (use --ensemble_checkpoints at "
+                         "eval time if the ensemble wins)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -98,6 +100,10 @@ def main():
         tail = [loaded[ep] for ep, _ in numbered[-k:] if ep in loaded]
         if len(tail) >= 2:
             candidates.append((f"swa_last{len(tail)}", average_states(tail)))
+    if args.ensemble_extra:
+        extra_state, _ = load_checkpoint(args.ensemble_extra, trainer.state)
+        candidates.append((f"extra({Path(args.ensemble_extra).stem})",
+                           extra_state))
 
     rows = []
     for name, state in candidates:
@@ -114,7 +120,6 @@ def main():
     state = dict(candidates)[winner]
 
     if args.ensemble_extra:
-        extra_state, _ = load_checkpoint(args.ensemble_extra, trainer.state)
         trainer.state = state
         trainer.ensemble_states = [extra_state]
         m = trainer.validate_rollout(pool, limit=args.limit,
