@@ -74,7 +74,8 @@ def halo_filter_body(x_loc: jax.Array, pos_loc: jax.Array, r: jax.Array,
                      num_shards: int, geometric: bool = False,
                      cap: int | None = None,
                      interpret: bool = False,
-                     mxu_weights: bool = False) -> jax.Array:
+                     mxu_weights: bool = False,
+                     cache_weights: bool = False) -> jax.Array:
     """K-tap graph filter inner body with neighbor-only halo exchange
     (callable inside any shard_map over ``axis``): x_loc [N/d, G],
     pos_loc [N/d, 2] -> [N/d, F].
@@ -120,7 +121,8 @@ def halo_filter_body(x_loc: jax.Array, pos_loc: jax.Array, r: jax.Array,
         degrees_fn, spmm = make_geometric_ops(send_pad, sv_pad, r,
                                               recv_pad, rv_pad, cap,
                                               interpret,
-                                              mxu_weights=mxu_weights)
+                                              mxu_weights=mxu_weights,
+                                              cache_weights=cache_weights)
         deg_loc = degrees_fn()[:n_loc]
         inv_loc = jnp.where(deg_loc > 1e-9,
                             jax.lax.rsqrt(jnp.maximum(deg_loc, 1e-9)), 0.0)
