@@ -189,9 +189,32 @@ def measure(num_cases=4, steps=32, n_agents=10, map_w=20, seed=0):
 
 
 if __name__ == "__main__":
-    rate = measure()
+    import os
+
+    # Provenance (VERDICT r3 weak #1): a re-measure taken while training owns
+    # the host's two cores understates torch 1.4-2.3x. Record the load average
+    # *before* the measurement so the number is tamper-evident, and refuse to
+    # overwrite the cache from a loaded host unless forced.
+    load1, load5, _ = os.getloadavg()
+    forced = os.environ.get("BASELINE_FORCE") == "1"
+    if max(load1, load5) > 1.0 and not forced:
+        raise SystemExit(
+            f"refusing to measure baseline at loadavg {load1:.2f}/{load5:.2f} "
+            "(> 1.0 on this 2-core rig understates torch); set "
+            "BASELINE_FORCE=1 to override")
+    # Best-of-3: single-run variance on this host is ~20% (1498-1839 observed
+    # on an idle host); taking the fastest run is maximally fair to torch and
+    # gives the most conservative vs_baseline ratio.
+    rates = [measure() for _ in range(int(os.environ.get("BASELINE_RUNS", 3)))]
+    rate = max(rates)
     out = {"agent_steps_per_s": rate, "host": "cpu-torch",
-           "config": "DCP-K3 N=10 20x20 reference-style loop"}
+           "config": "DCP-K3 N=10 20x20 reference-style loop",
+           "runs_agent_steps_per_s": [round(r, 1) for r in rates],
+           "protocol": f"best-of-{len(rates)}",
+           "loadavg_1m_before": round(load1, 3),
+           "loadavg_5m_before": round(load5, 3),
+           "measured_at_unix": int(time.time()),
+           "forced_under_load": forced}
     path = Path(__file__).parent / "baseline_torch.json"
     path.write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
