@@ -53,7 +53,14 @@ def _perm_table() -> np.ndarray:
 
 
 # ACTION_PERM[g, a] = label of action ``a`` after transform ``g``.
-ACTION_PERM = jnp.asarray(_perm_table())
+# Kept as NUMPY on purpose: this module is imported lazily inside the first
+# train_step trace (trainer.py make_train_step), and a module-level jnp
+# constant created during tracing becomes a tracer owned by that trace —
+# baked in silently on single-shape runs, UnexpectedTracerError on the
+# first retrace (observed launching the mixed-distribution leg, whose
+# second component shape retraces). jnp.asarray at use site is free: it
+# becomes a fresh constant in each trace.
+ACTION_PERM = _perm_table()
 
 
 def _points(p: jax.Array, w: int, k: int, flip: bool) -> jax.Array:
@@ -91,7 +98,7 @@ def apply_d4(grid: jax.Array, pos: jax.Array, goals: jax.Array,
 
     branches = [branch(k, f) for f in (False, True) for k in range(4)]
     grid, pos, goals = jax.lax.switch(g, branches, grid, pos, goals)
-    return grid, pos, goals, ACTION_PERM[g, actions]
+    return grid, pos, goals, jnp.asarray(ACTION_PERM)[g, actions]
 
 
 def augment_batch(key: jax.Array, grids: jax.Array, goals: jax.Array,

@@ -108,3 +108,35 @@ def test_augment_batch_shapes_and_determinism():
     # with 6 samples and 8 group elements, some sample should change
     assert any(not np.array_equal(np.asarray(a), np.asarray(b))
                for a, b in zip(out1, (grids, goals, pos, acts)))
+
+
+def test_augmented_train_step_survives_mixed_shape_retrace():
+    """Regression (round 4): ops.augment is imported lazily INSIDE the first
+    train_step trace; a module-level jnp constant created there becomes a
+    tracer owned by that trace and raises UnexpectedTracerError on the first
+    retrace — exactly what the mixed-distribution leg's second component
+    shape triggers. ACTION_PERM must therefore stay numpy at module level."""
+    import optax
+    from gnn_pathplanning_tpu.models.dcp import DCPConfig, DCPNet
+    from gnn_pathplanning_tpu.train.trainer import TrainState, make_train_step
+
+    model = DCPNet(DCPConfig(num_taps=2))
+    v = model.init_variables(jax.random.PRNGKey(0), num_agents=4)
+    opt = optax.adam(1e-3)
+    state = TrainState(params=v["params"], batch_stats=v["batch_stats"],
+                       opt_state=opt.init(v["params"]),
+                       step=jnp.asarray(0, jnp.int32),
+                       epoch=jnp.asarray(0, jnp.int32))
+    step_fn = make_train_step(model, opt, augment=True, seed=0)
+
+    def batch(n, w, b=2):
+        return (jnp.zeros((b, w, w), jnp.float32),
+                jnp.ones((b, n, 2), jnp.int32),
+                jnp.zeros((b, n, 2), jnp.int32),
+                jnp.zeros((b, n), jnp.int32),
+                jnp.full((b,), 6.0))
+
+    state, _ = step_fn(state, *batch(4, 12))
+    state, _ = step_fn(state, *batch(8, 20))   # retrace must not leak
+    _, loss = step_fn(state, *batch(4, 12))    # cache hit still valid
+    assert np.isfinite(float(loss))
