@@ -159,7 +159,12 @@ def measure(n_devices: int, args) -> dict:
     dt = (t2 - t1) / (c2 - c1) * args.iters  # per-iter slope x iters
 
     hops = args.taps - 1
-    edges_per_s = edges * hops * args.iters / dt
+    # Slope timing can go non-positive under timer noise when the per-iter
+    # cost is tiny relative to the dispatch floor (ADVICE r3): flag the row
+    # instead of emitting an absurd rate, and record both raw times so
+    # pathological rows stay diagnosable.
+    slope_valid = dt > 0 and (t2 - t1) > 0.02 * t1
+    edges_per_s = (edges * hops * args.iters / dt) if slope_valid else None
     n_loc = n // n_devices
     if args.halo:
         # Neighbor-only exchange: per hop each chip sends/receives its
@@ -179,6 +184,8 @@ def measure(n_devices: int, args) -> dict:
     return {"devices": n_devices, "agents": n, "edges": edges,
             "hops": hops, "iters": args.iters, "seconds": dt,
             "edges_per_s": edges_per_s,
+            "slope_valid": slope_valid,
+            "raw_chain_seconds": {"c1": [c1, t1], "c2": [c2, t2]},
             "per_chip_gather_bytes_per_iter": gather_bytes,
             "per_chip_dense_flops_per_iter": flops}
 

@@ -131,6 +131,13 @@ def collision_shield(cur: jax.Array, prop: jax.Array, key: jax.Array,
         materializations that dominate the step (N=8192: ~268 MB per
         matrix per round). The dense route stays the default for small N
         and for callers without a static world size.
+        PRECONDITION: ``cur``/``prop`` must lie inside ``[0, W) x [0, H)``
+        (every in-repo caller clips proposals to the map first; the dense
+        route handles arbitrary ints). Coordinates are clamped per-axis
+        here so a violation cannot wrap via negative indexing into an
+        unrelated cell's scatter slot — but a clamped out-of-bounds
+        proposal is treated as a proposal for the border cell, which is
+        not what the dense route would decide; clip first.
 
     Returns:
       (next, shielded, unresolved, rounds): final positions, whether any
@@ -156,7 +163,10 @@ def collision_shield(cur: jax.Array, prop: jax.Array, key: jax.Array,
         ids = jnp.arange(n, dtype=jnp.int32)
 
         def cell(p):
-            return p[:, 0].astype(jnp.int32) * h + p[:, 1].astype(jnp.int32)
+            # per-axis clamp: see PRECONDITION in the docstring
+            x = jnp.clip(p[:, 0].astype(jnp.int32), 0, w - 1)
+            y = jnp.clip(p[:, 1].astype(jnp.int32), 0, h - 1)
+            return x * h + y
 
         cur_c = cell(cur)
         # current positions are pairwise distinct -> occupant is unique

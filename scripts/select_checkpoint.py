@@ -119,7 +119,13 @@ def main():
     winner = rows[0]["name"]
     state = dict(candidates)[winner]
 
-    if args.ensemble_extra:
+    if args.ensemble_extra and winner == f"extra({Path(args.ensemble_extra).stem})":
+        # The extra candidate itself won the standalone ranking: an
+        # "ensemble" of {winner, extra} would average the model with
+        # itself — meaningless row, skip it (ADVICE r3).
+        print("ensemble scoring skipped: winner IS the extra candidate",
+              flush=True)
+    elif args.ensemble_extra:
         trainer.state = state
         trainer.ensemble_states = [extra_state]
         m = trainer.validate_rollout(pool, limit=args.limit,
