@@ -11,9 +11,12 @@ stage-isolated kernel variants on the SAME grid/specs and differencing:
   (x DMA + out r/w, no matmul, no weights).
 - ``matmul_only``: x DMA + one 128x128xG MXU matmul with a scalar-filled
   weight matrix (no weight computation).
-- ``degrees_vpu`` / ``degrees_mxuw``: weight computation only (VPU
-  broadcast route vs homogeneous MXU route) + cheap row-sum.
-- ``full_vpu`` / ``full_mxuw``: the production SpMM kernels.
+- ``weights_hoisted`` / ``weights_legacy``: weight computation only —
+  the round-4 receiver-hoisted [recv, send] build (relayouts paid once
+  per receiver block, VMEM scratch) vs the round-3 per-step-transpose
+  orientation.
+- ``full_hoisted`` / ``full_legacy``: the full SpMM step in both
+  orientations (hoisted also drops the matmul-side ``w.T``).
 
 ns/step for each, with the dispatch floor cancelled by chaining dependent
 calls inside one jit (same method as pallas_roofline.py).
@@ -58,16 +61,14 @@ def build_variants(pos_pad, valid, r, idx, count, g, interpret=False):
     from jax.experimental.pallas import tpu as pltpu
 
     from gnn_pathplanning_tpu.ops.pallas_swarm import (
-        BLOCK, _SUB, _compact_plane_specs, _homog_center, _homog_planes,
-        _homog_specs, _homog_weights, _pair_weights, _planes, _unpack)
+        BLOCK, _compact_plane_specs, _hoist_recv_planes, _pair_weights_rs,
+        _planes, _recv_scratch, _unpack)
 
     nb_r = pos_pad.shape[0] // BLOCK
     cap = idx.shape[1]
     r2 = (jnp.asarray(r, jnp.float32) ** 2).reshape(1)
     ps_v = _planes(pos_pad, valid)
-    ps_h = _homog_planes(pos_pad, valid, _homog_center(pos_pad, valid))
     send_v, recv_v = _compact_plane_specs()
-    sF1, sF2, rF1, rF2 = _homog_specs()
     x_spec = pl.BlockSpec((BLOCK, g),
                           lambda j, k, idx_ref, cnt, r2: (idx_ref[j, k], 0),
                           memory_space=pltpu.VMEM)
@@ -76,10 +77,11 @@ def build_variants(pos_pad, valid, r, idx, count, g, interpret=False):
     const_spec = pl.BlockSpec((BLOCK, g), lambda j, k, *_: (0, 0),
                               memory_space=pltpu.VMEM)
 
-    def call(kernel, in_specs, *ops_):
+    def call(kernel, in_specs, *ops_, scratch=False):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3, grid=(nb_r, cap),
-            in_specs=in_specs, out_specs=out_spec)
+            in_specs=in_specs, out_specs=out_spec,
+            scratch_shapes=_recv_scratch() if scratch else [])
         return pl.pallas_call(
             kernel, grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((nb_r * BLOCK, g), jnp.float32),
@@ -120,8 +122,34 @@ def build_variants(pos_pad, valid, r, idx, count, g, interpret=False):
             out_ref[:] += jnp.dot(w, x_ref[:],
                                   preferred_element_type=jnp.float32)
 
-    # -- degrees (weights only), VPU route
-    def k_deg_vpu(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref, x_ref, out_ref):
+    # -- weights only (+ cheap row-sum), receiver-hoisted r4 route
+    def k_wonly(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref, x_ref, out_ref,
+                rx_ref, ry_ref, rv_ref):
+        j, k = pl.program_id(0), pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+            _hoist_recv_planes(pj_ref, rx_ref, ry_ref, rv_ref)
+
+        @pl.when(k < cnt_ref[j])
+        def _():
+            w = _pair_weights_rs(rx_ref[:], ry_ref[:], rv_ref[:],
+                                 *_unpack(pi_ref), r2_ref[0])
+            out_ref[:, :1] += jnp.sum(w, axis=1, keepdims=True)
+
+    # -- weights only, round-3 legacy orientation (per-step sender
+    # transpose + matmul-side w.T) kept for the A/B record
+    def _pair_weights_legacy(xi, yi, vi, xj, yj, vj, rr2):
+        dx = xi[:, None] - xj[None, :]
+        dy = yi[:, None] - yj[None, :]
+        d2 = dx * dx + dy * dy
+        w = jnp.where(d2 < rr2, 1.0, 0.0)
+        w = jnp.where(d2 == 0.0, 0.0, w)
+        return w * vi[:, None] * vj[None, :]
+
+    def k_wonly_legacy(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref, x_ref,
+                       out_ref):
         j, k = pl.program_id(0), pl.program_id(1)
 
         @pl.when(k == 0)
@@ -130,11 +158,30 @@ def build_variants(pos_pad, valid, r, idx, count, g, interpret=False):
 
         @pl.when(k < cnt_ref[j])
         def _():
-            w = _pair_weights(*_unpack(pi_ref), *_unpack(pj_ref), r2_ref[0])
+            w = _pair_weights_legacy(*_unpack(pi_ref), *_unpack(pj_ref),
+                                     r2_ref[0])
             out_ref[0, :] += jnp.sum(w, axis=0)[:g]
 
-    # -- degrees, MXU homogeneous route
-    def k_deg_mxu(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref, x_ref, out_ref):
+    # -- full production kernel (r4 receiver-hoisted, no matmul transpose)
+    def k_full(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref, x_ref, out_ref,
+               rx_ref, ry_ref, rv_ref):
+        j, k = pl.program_id(0), pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+            _hoist_recv_planes(pj_ref, rx_ref, ry_ref, rv_ref)
+
+        @pl.when(k < cnt_ref[j])
+        def _():
+            w = _pair_weights_rs(rx_ref[:], ry_ref[:], rv_ref[:],
+                                 *_unpack(pi_ref), r2_ref[0])
+            out_ref[:] += jnp.dot(w.astype(x_ref.dtype), x_ref[:],
+                                  preferred_element_type=jnp.float32)
+
+    # -- full kernel, round-3 legacy orientation
+    def k_full_legacy(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref, x_ref,
+                      out_ref):
         j, k = pl.program_id(0), pl.program_id(1)
 
         @pl.when(k == 0)
@@ -143,68 +190,26 @@ def build_variants(pos_pad, valid, r, idx, count, g, interpret=False):
 
         @pl.when(k < cnt_ref[j])
         def _():
-            w = _homog_weights(pi_ref, pj_ref, r2_ref[0])
-            out_ref[0, :] += jnp.sum(w, axis=0)[:g]
-
-    # -- full production kernels
-    def k_full_vpu(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref, x_ref, out_ref):
-        j, k = pl.program_id(0), pl.program_id(1)
-
-        @pl.when(k == 0)
-        def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
-
-        @pl.when(k < cnt_ref[j])
-        def _():
-            w = _pair_weights(*_unpack(pi_ref), *_unpack(pj_ref), r2_ref[0])
+            w = _pair_weights_legacy(*_unpack(pi_ref), *_unpack(pj_ref),
+                                     r2_ref[0])
             out_ref[:] += jnp.dot(w.T, x_ref[:],
                                   preferred_element_type=jnp.float32)
 
-    def k_full_mxu(idx_ref, cnt_ref, r2_ref, pr_ref, psn_ref, x_ref,
-                   out_ref):
-        j, k = pl.program_id(0), pl.program_id(1)
-
-        @pl.when(k == 0)
-        def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
-
-        @pl.when(k < cnt_ref[j])
-        def _():
-            w_t = _homog_weights(pr_ref, psn_ref, r2_ref[0])
-            out_ref[:] += jnp.dot(w_t.astype(x_ref.dtype), x_ref[:],
-                                  preferred_element_type=jnp.float32)
-
-    # -- cached-weights route: build once (weights+degrees), then each
-    # SpMM step is pure DMA + matmul (no VPU weight recompute)
-    from gnn_pathplanning_tpu.ops.pallas_swarm import (
-        geometric_spmm_cached, geometric_weights_compact)
-    wblocks_const, _ = geometric_weights_compact(
-        pos_pad, r, valid, idx, count, interpret=interpret)
-
-    def full_cached(x):
-        # pos depends on x at runtime (adds exactly 0.0 in f32) so the
-        # build cannot be hoisted out of the timing chain
-        pos_dep = pos_pad + x[0, 0] * 1e-30
-        wb, deg = geometric_weights_compact(pos_dep, r, valid, idx, count,
-                                            interpret=interpret)
-        return geometric_spmm_cached(wb, x, idx, count,
-                                     interpret=interpret) + deg[:, None] * 0
-
     return {
         "bookkeeping": lambda x: call(k_book, [const_spec], x),
-        "spmm_cached": lambda x: geometric_spmm_cached(
-            wblocks_const, x, idx, count, interpret=interpret),
-        "wbuild_spmm_cached": full_cached,
         "dma_only": lambda x: call(k_dma, [x_spec], x),
         "matmul_only": lambda x: call(k_mm, [x_spec], x),
-        "degrees_vpu": lambda x: call(k_deg_vpu, [send_v, recv_v, const_spec],
+        "weights_hoisted": lambda x: call(k_wonly,
+                                          [send_v, recv_v, const_spec],
+                                          ps_v, ps_v, x, scratch=True),
+        "weights_legacy": lambda x: call(k_wonly_legacy,
+                                         [send_v, recv_v, const_spec],
+                                         ps_v, ps_v, x),
+        "full_hoisted": lambda x: call(k_full, [send_v, recv_v, x_spec],
+                                       ps_v, ps_v, x, scratch=True),
+        "full_legacy": lambda x: call(k_full_legacy,
+                                      [send_v, recv_v, x_spec],
                                       ps_v, ps_v, x),
-        "degrees_mxuw": lambda x: call(k_deg_mxu, [sF1, rF2, const_spec],
-                                       ps_h, ps_h, x),
-        "full_vpu": lambda x: call(k_full_vpu, [send_v, recv_v, x_spec],
-                                   ps_v, ps_v, x),
-        "full_mxuw": lambda x: call(k_full_mxu, [rF1, sF2, x_spec],
-                                    ps_h, ps_h, x),
     }
 
 

@@ -154,34 +154,6 @@ def measure_size(n: int, args) -> dict:
     _, _, compact_chain, compact_per_call = measure_chained(
         chain_compact, x0, args)
 
-    # Homogeneous-coordinate MXU weights: the d2 block comes from one tiny
-    # [6, 128] x [6, 128] MXU contraction instead of VPU lane->sublane
-    # broadcast relayouts, and arrives already transposed so the main
-    # matmul loses its w.T (ops/pallas_swarm.py "MXU weights" notes).
-    def chain_mxuw(c):
-        @jax.jit
-        def run(x):
-            def body(_, z):
-                return geometric_spmm_compact(pos_pad, z, r, valid, idx,
-                                              count, mxu_weights=True)
-            return jax.lax.fori_loop(0, c, body, x)
-        return run
-
-    _, _, _, mxuw_per_call = measure_chained(chain_mxuw, x0, args)
-
-    def chain_mxuw_bf16(c):
-        @jax.jit
-        def run(x):
-            xx = x.astype(jnp.bfloat16)
-            def body(_, z):
-                return geometric_spmm_compact(
-                    pos_pad, z, r, valid, idx, count,
-                    mxu_weights=True).astype(jnp.bfloat16)
-            return jax.lax.fori_loop(0, c, body, xx).astype(jnp.float32)
-        return run
-
-    _, _, _, mxuw16_per_call = measure_chained(chain_mxuw_bf16, x0, args)
-
     # Multi-sender-per-step compact grids (+ bf16 features at the best S):
     # one-sender steps are per-step-overhead-bound; S senders share the
     # step. bf16 halves the dominant x-block traffic (f32 accumulation).
@@ -257,14 +229,6 @@ def measure_size(n: int, args) -> dict:
         "compact_mxu_roofline_pct":
             100 * flops / compact_per_call / 1e12 / V5E_BF16_TFLOPS,
         "compact_speedup": per_call / compact_per_call,
-        "mxuw_per_call_s": mxuw_per_call,
-        "mxuw_hbm_roofline_pct":
-            100 * model_bytes / mxuw_per_call / 1e9 / V5E_HBM_GBPS,
-        "mxuw_speedup_vs_compact": compact_per_call / mxuw_per_call,
-        "mxuw_bf16_per_call_s": mxuw16_per_call,
-        "mxuw_bf16_hbm_roofline_pct":
-            100 * model_bytes / mxuw16_per_call / 1e9 / V5E_HBM_GBPS,
-        "mxuw_bf16_speedup_vs_compact": compact_per_call / mxuw16_per_call,
     }
     for k, v in multi.items():
         if k.endswith("_hbm_roofline_pct"):

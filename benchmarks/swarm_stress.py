@@ -42,13 +42,6 @@ def parse_args():
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--paths", type=str, nargs="+",
                    default=["dense", "geometric", "compact", "halo"])
-    p.add_argument("--cache-weights", action="store_true",
-                   help="route geometric/compact/halo paths through the "
-                        "cached pair-weight blocks (build once per filter "
-                        "application, pure DMA+matmul hops)")
-    p.add_argument("--mxu-weights", action="store_true",
-                   help="homogeneous-coordinate MXU weight route in the "
-                        "geometric/compact/halo kernels")
     p.add_argument("--platform", choices=["cpu", "tpu"], default="tpu",
                    help="cpu = smoke-test the program (dense path only; "
                         "pallas does not lower to CPU)")
@@ -95,16 +88,11 @@ def main() -> int:
             def rollout(s, g, k):
                 return swarm_rollout_halo(mesh, variables, grid, s, g,
                                           args.radius, steps, k,
-                                          geometric=True, cap=args.cap,
-                                          mxu_weights=args.mxu_weights,
-                                          cache_weights=args.cache_weights)
+                                          geometric=True, cap=args.cap)
         else:
             kw = {"geometric": path != "dense"}
             if path == "compact":
                 kw["cap"] = args.cap
-            if path != "dense":
-                kw["mxu_weights"] = args.mxu_weights
-                kw["cache_weights"] = args.cache_weights
             def rollout(s, g, k):
                 return swarm_rollout(mesh, variables, grid, s, g,
                                      args.radius, steps, k, **kw)
@@ -139,8 +127,6 @@ def main() -> int:
               "device": str(jax.devices()[0]),
               "agents": n, "steps": steps, "world": w,
               "radius": args.radius, "cap": args.cap,
-              "mxu_weights": args.mxu_weights,
-              "cache_weights": args.cache_weights,
               "devices_in_mesh": 1, "rows": rows}
     Path(args.out).write_text(json.dumps(result, indent=2))
     print(json.dumps(result))

@@ -3,8 +3,9 @@
 The reference regime (N <= 64 agents) is served by dense batched matmuls
 (ops.graph_filter). At swarm scale (BASELINE.md stress config: 1024+ agents)
 the dense GSO costs O(N^2) HBM and the reference rebuilds it per step with an
-O(N^3) eigendecomposition connectivity check. These kernels exploit the
-*geometric* structure of the communication graph instead:
+O(N^3) eigendecomposition connectivity check
+(/root/reference/utils/graphUtils/graphTools.py:396-423). These kernels
+exploit the *geometric* structure of the communication graph instead:
 
 - Agents are sorted into spatial blocks (``spatial_sort``) so the
   radius-graph adjacency becomes block-banded; only block pairs whose
@@ -18,11 +19,33 @@ O(N^3) eigendecomposition connectivity check. These kernels exploit the
 - Degree normalization (D^-1/2 W D^-1/2, same semantics as ops.gso) comes
   from a first fused pass that only accumulates degrees.
 
+Weight-build orientation (round-4 redesign). The round-3 slope-timed anatomy
+(benchmarks/kernel_anatomy_r3b.json) decomposed the compact SpMM step at
+N=16k as 389 ns = 42 DMA + ~97 MXU matmul + ~240 VPU pair-weight build + 22
+bookkeeping, with the VPU build ~1.7x above the ~140 ns floor of the
+distance arithmetic itself. The overhead was relayouts: building
+``w[send, recv]`` needs the *sender* lane vector transposed into column
+(sublane) form — a lane->sublane relayout re-paid at EVERY grid step because
+the sender block changes per step — and the matmul then consumed ``w.T``
+(another relayout). The kernels now build ``w[recv, send]`` instead: the
+expensive column-form broadcast belongs to the RECEIVER, which is constant
+across a receiver block's whole sender loop, so it is hoisted into VMEM
+scratch and paid once per receiver block (the grid iterates senders
+fastest); the sender side only needs a cheap sublane broadcast, and the MXU
+consumes ``w[recv, send] @ x[send, G]`` with no transpose. Degrees flow out
+in column form ([N, 1]) so no orientation change is ever needed.
+
+Two round-3 experimental paths were REMOVED as measured non-levers
+(VERDICT r3 next #6): homogeneous-coordinate MXU weights (0.97x roofline,
+degrees 320 vs 242 ns/step) and HBM-cached pair-weight blocks (faster
+per-kernel, 287 vs 401 ns, but a rollout-level loss, 381k vs 412k
+agent-steps/s, because the w blocks round-trip HBM). Git history holds both.
+
 Layout notes (per the pallas TPU guide): coordinates are stored as separate
 x/y planes shaped [NB, BLOCK] so every VMEM block is (1, 128) — lane-aligned;
-the block-pair mask lives in SMEM for scalar reads; accumulation across the
-sender grid dimension happens in the output VMEM block (grid iterates the
-last dimension fastest, and the output index map ignores it).
+accumulation across the sender grid dimension happens in the output VMEM
+block (grid iterates the last dimension fastest, and the output index map
+ignores it).
 """
 from __future__ import annotations
 
@@ -93,15 +116,32 @@ def block_pair_mask(pos: jax.Array, radius, valid: jax.Array,
     return ok.astype(jnp.int32)
 
 
-def _pair_weights(xi, yi, vi, xj, yj, vj, r2):
-    """[BLOCK, BLOCK] 0/1 adjacency between sender lanes i and receiver
-    lanes j; strict < threshold, self/duplicate cells removed."""
-    dx = xi[:, None] - xj[None, :]
-    dy = yi[:, None] - yj[None, :]
+def _pair_weights_rs(rx, ry, rv, xs, ys, vs, r2):
+    """[recv, send]-oriented 0/1 adjacency; strict < threshold,
+    self/duplicate cells removed. Receiver planes ``rx/ry/rv`` arrive
+    PRE-BROADCAST in column form ([BLOCK, BLOCK], hoisted per receiver
+    block into VMEM scratch); sender lane vectors broadcast along sublanes
+    — no per-step relayouts (module notes)."""
+    dx = rx - xs[None, :]
+    dy = ry - ys[None, :]
     d2 = dx * dx + dy * dy
     w = jnp.where(d2 < r2, 1.0, 0.0)
     w = jnp.where(d2 == 0.0, 0.0, w)  # self-loops / co-located padding
-    return w * vi[:, None] * vj[None, :]
+    return w * rv * vs[None, :]
+
+
+def _hoist_recv_planes(p_ref, rx_ref, ry_ref, rv_ref):
+    """Pay the receiver lane->sublane relayouts ONCE per receiver block:
+    the column-broadcast coordinate planes live in VMEM scratch across the
+    whole sender loop (the grid iterates senders fastest)."""
+    xr, yr, vr = _unpack(p_ref)
+    rx_ref[:] = jnp.broadcast_to(xr[:, None], (BLOCK, BLOCK))
+    ry_ref[:] = jnp.broadcast_to(yr[:, None], (BLOCK, BLOCK))
+    rv_ref[:] = jnp.broadcast_to(vr[:, None], (BLOCK, BLOCK))
+
+
+def _recv_scratch():
+    return [pltpu.VMEM((BLOCK, BLOCK), jnp.float32) for _ in range(3)]
 
 
 # Agent-coordinate "planes" (x, y, valid) are PACKED into one
@@ -120,30 +160,36 @@ def _unpack(p_ref):
     return p_ref[0], p_ref[_SUB], p_ref[2 * _SUB]
 
 
-def _degree_kernel(mask_ref, r2_ref, pi_ref, pj_ref, out_ref):
+def _degree_kernel(mask_ref, r2_ref, pi_ref, pj_ref, out_ref,
+                   rx_ref, ry_ref, rv_ref):
     j, i = pl.program_id(0), pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
+        _hoist_recv_planes(pj_ref, rx_ref, ry_ref, rv_ref)
 
     @pl.when(mask_ref[i, j] == 1)
     def _():
-        w = _pair_weights(*_unpack(pi_ref), *_unpack(pj_ref), r2_ref[0])
-        out_ref[0, :] += jnp.sum(w, axis=0)
+        w = _pair_weights_rs(rx_ref[:], ry_ref[:], rv_ref[:],
+                             *_unpack(pi_ref), r2_ref[0])
+        out_ref[:] += jnp.sum(w, axis=1, keepdims=True)
 
 
-def _spmm_kernel(mask_ref, r2_ref, pi_ref, pj_ref, x_ref, out_ref):
+def _spmm_kernel(mask_ref, r2_ref, pi_ref, pj_ref, x_ref, out_ref,
+                 rx_ref, ry_ref, rv_ref):
     j, i = pl.program_id(0), pl.program_id(1)
 
     @pl.when(i == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
+        _hoist_recv_planes(pj_ref, rx_ref, ry_ref, rv_ref)
 
     @pl.when(mask_ref[i, j] == 1)
     def _():
-        w = _pair_weights(*_unpack(pi_ref), *_unpack(pj_ref), r2_ref[0])
-        out_ref[:] += jnp.dot(w.T, x_ref[:],
+        w = _pair_weights_rs(rx_ref[:], ry_ref[:], rv_ref[:],
+                             *_unpack(pi_ref), r2_ref[0])
+        out_ref[:] += jnp.dot(w.astype(x_ref.dtype), x_ref[:],
                               preferred_element_type=jnp.float32)
 
 
@@ -204,13 +250,14 @@ def geometric_degrees(pos: jax.Array, radius, valid: jax.Array,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   send, recv],
-        out_specs=pl.BlockSpec((_SUB, BLOCK), lambda j, i: (j, 0),
+        out_specs=pl.BlockSpec((BLOCK, 1), lambda j, i: (j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb_r * _SUB, BLOCK), jnp.float32,
+        out_shape=jax.ShapeDtypeStruct((nb_r * BLOCK, 1), jnp.float32,
                                        vma=_join_vma(mask, ps, pr)),
+        scratch_shapes=_recv_scratch(),
         interpret=interpret,
     )(mask, r2, ps, pr)
-    return out.reshape(nb_r, _SUB, BLOCK)[:, 0].reshape(-1)
+    return out.reshape(-1)
 
 
 def geometric_spmm(pos: jax.Array, x: jax.Array, radius, valid: jax.Array,
@@ -244,6 +291,7 @@ def geometric_spmm(pos: jax.Array, x: jax.Array, radius, valid: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_r, g), jnp.float32,
                                        vma=_join_vma(mask, ps, pr, x)),
+        scratch_shapes=_recv_scratch(),
         interpret=interpret,
     )(mask, r2, ps, pr, x)
     return out
@@ -285,198 +333,64 @@ def compact_sender_index(mask: jax.Array, cap: int):
     return idx, count, jnp.any(raw > cap)
 
 
-# --------------------------------------------------------- MXU weights
-# The VPU `_pair_weights` builds d2 from lane-vector broadcasts
-# (xi[:, None] - xj[None, :]): each broadcast is a lane->sublane relayout,
-# and profiling the compact grid showed the per-step time (~317 ns at
-# N=16k) is dominated by this weight recompute running SERIALLY with the
-# 128x128xG MXU matmul — not by grid bookkeeping (benchmarks/
-# kernel_anatomy.py). The homogeneous-coordinate route moves d2 onto the
-# MXU instead:
-#
-#   d2[a, b] = |p_a|^2 + |p_b|^2 - 2 x_a x_b - 2 y_a y_b
-#            = sum_k F1[k, a] * F2[k, b]
-#
-# with per-agent homogeneous rows
-#   F1 = (-2x, -2y, 1, |p|^2, BIG*(1-v), 1)       ("first operand" form)
-#   F2 = ( x,   y,  |p|^2, 1, 1, BIG*(1-v))       ("second operand" form)
-# so one tiny [6, 128] x [6, 128] contraction yields the full [128, 128]
-# d2 block in whichever orientation the caller wants (pick which block
-# supplies F1): the SpMM computes w TRANSPOSED directly and drops the
-# w.T from its MXU matmul, and invalid lanes fold in via the +BIG term
-# (no per-lane valid multiplies). The VPU then only does 2 compares, an
-# AND and a select on an already-laid-out [128, 128] block.
-#
-# EXACTNESS precondition: every product must be exact in f32 (the strict
-# d2 < r2 / d2 == 0 comparisons must match the oracle's small-difference
-# arithmetic). Positions are integer grid coordinates; after centering
-# (subtracting the valid bounding-box midpoint, itself an exact integer
-# translation) all |coords| <= 2047 keeps |p|^2 < 2^23 and every partial
-# sum < 2^24 — exact in f32 regardless of accumulation order. That covers
-# worlds up to ~4000 cells on a side (N ~ 320k at the benchmark density);
-# the host wrapper asserts the bound and the MXU contraction runs at
-# HIGHEST precision so f32 inputs are not truncated to bf16.
-_HOMOG_BIG = 1e9
-
-
-def _homog_center(pos: jax.Array, valid: jax.Array) -> jax.Array:
-    """Exact integer centering offset (valid bounding-box midpoint) —
-    doubles the usable coordinate range of the exactness precondition.
-    Sender and receiver planes of one contraction MUST share the center
-    (d2 = |(p_a - c) - (p_b - c)|^2 only telescopes for equal c)."""
-    v = valid > 0
-    big = jnp.float32(1e9)
-    lo = jnp.min(jnp.where(v[:, None], pos, big), axis=0)
-    hi = jnp.max(jnp.where(v[:, None], pos, -big), axis=0)
-    return jnp.floor((lo + hi) * 0.5)
-
-
-def _homog_planes(pos: jax.Array, valid: jax.Array,
-                  center: jax.Array | None = None) -> jax.Array:
-    """[NB * 2 * _SUB, BLOCK] packed homogeneous planes: per block, rows
-    0-5 of tile 0 hold F1, rows 0-5 of tile 1 hold F2 (rows 6-7 zero)."""
-    nb = pos.shape[0] // BLOCK
-    c = _homog_center(pos, valid) if center is None else center
-    p = pos - c
-    x, y = p[:, 0], p[:, 1]
-    n2 = x * x + y * y
-    one = jnp.ones_like(x)
-    inv = _HOMOG_BIG * (1.0 - valid)
-    f1 = jnp.stack([-2.0 * x, -2.0 * y, one, n2, inv, one], axis=0)
-    f2 = jnp.stack([x, y, n2, one, one, inv], axis=0)
-
-    def tiles(f):  # [6, N] -> [nb, _SUB, BLOCK]
-        f = jnp.pad(f, ((0, _SUB - 6), (0, 0)))
-        return f.reshape(_SUB, nb, BLOCK).transpose(1, 0, 2)
-
-    packed = jnp.stack([tiles(f1), tiles(f2)], axis=1)  # [nb, 2, SUB, BLOCK]
-    return packed.reshape(nb * 2 * _SUB, BLOCK)
-
-
-def _homog_weights(f1_ref, f2_ref, r2):
-    """[BLOCK, BLOCK] 0/1 weights, oriented [f1-block lanes, f2-block
-    lanes]; same semantics as `_pair_weights` (strict < r2, self/dup and
-    invalid lanes zeroed)."""
-    d2 = jax.lax.dot_general(
-        f1_ref[:6], f2_ref[:6], (((0,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
-    return jnp.where((d2 < r2) & (d2 > 0.0), 1.0, 0.0)
-
-
-def _degree_kernel_compact_mxuw(idx_ref, cnt_ref, r2_ref, ps_ref, pr_ref,
-                                out_ref):
-    j, k = pl.program_id(0), pl.program_id(1)
-
-    @pl.when(k == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    @pl.when(k < cnt_ref[j])
-    def _():
-        # w oriented [send, recv]: sender block supplies F1 (sublanes),
-        # receiver F2 (lanes); cross-sublane sum -> recv lane vector.
-        w = _homog_weights(ps_ref, pr_ref, r2_ref[0])
-        out_ref[0, :] += jnp.sum(w, axis=0)
-
-
-def _spmm_kernel_compact_mxuw(idx_ref, cnt_ref, r2_ref, pr_ref, ps_ref,
-                              x_ref, out_ref):
-    j, k = pl.program_id(0), pl.program_id(1)
-
-    @pl.when(k == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    @pl.when(k < cnt_ref[j])
-    def _():
-        # w oriented [recv, send] (receiver supplies F1) — the main matmul
-        # contracts senders directly, no transpose.
-        w_t = _homog_weights(pr_ref, ps_ref, r2_ref[0])
-        out_ref[:] += jnp.dot(w_t.astype(x_ref.dtype), x_ref[:],
-                              preferred_element_type=jnp.float32)
-
-
-def _homog_specs():
-    """(sender-F1, sender-F2, recv-F1, recv-F2) BlockSpecs over the packed
-    homogeneous planes (block row 2b = F1 of agent-block b, 2b+1 = F2)."""
-    sF1 = pl.BlockSpec((_SUB, BLOCK),
-                       lambda j, k, idx, cnt, r2: (2 * idx[j, k], 0),
-                       memory_space=pltpu.VMEM)
-    sF2 = pl.BlockSpec((_SUB, BLOCK),
-                       lambda j, k, idx, cnt, r2: (2 * idx[j, k] + 1, 0),
-                       memory_space=pltpu.VMEM)
-    rF1 = pl.BlockSpec((_SUB, BLOCK),
-                       lambda j, k, idx, cnt, r2: (2 * j, 0),
-                       memory_space=pltpu.VMEM)
-    rF2 = pl.BlockSpec((_SUB, BLOCK),
-                       lambda j, k, idx, cnt, r2: (2 * j + 1, 0),
-                       memory_space=pltpu.VMEM)
-    return sF1, sF2, rF1, rF2
-
-
 def _degree_kernel_compact(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref,
-                           out_ref):
+                           out_ref, rx_ref, ry_ref, rv_ref):
     j, k = pl.program_id(0), pl.program_id(1)
 
     @pl.when(k == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
+        _hoist_recv_planes(pj_ref, rx_ref, ry_ref, rv_ref)
 
     @pl.when(k < cnt_ref[j])
     def _():
-        w = _pair_weights(*_unpack(pi_ref), *_unpack(pj_ref), r2_ref[0])
-        out_ref[0, :] += jnp.sum(w, axis=0)
+        w = _pair_weights_rs(rx_ref[:], ry_ref[:], rv_ref[:],
+                             *_unpack(pi_ref), r2_ref[0])
+        out_ref[:] += jnp.sum(w, axis=1, keepdims=True)
 
 
 def _spmm_kernel_compact(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref, x_ref,
-                         out_ref):
+                         out_ref, rx_ref, ry_ref, rv_ref):
     j, k = pl.program_id(0), pl.program_id(1)
 
     @pl.when(k == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
+        _hoist_recv_planes(pj_ref, rx_ref, ry_ref, rv_ref)
 
     @pl.when(k < cnt_ref[j])
     def _():
-        w = _pair_weights(*_unpack(pi_ref), *_unpack(pj_ref), r2_ref[0])
-        out_ref[:] += jnp.dot(w.astype(x_ref.dtype).T, x_ref[:],
+        w = _pair_weights_rs(rx_ref[:], ry_ref[:], rv_ref[:],
+                             *_unpack(pi_ref), r2_ref[0])
+        out_ref[:] += jnp.dot(w.astype(x_ref.dtype), x_ref[:],
                               preferred_element_type=jnp.float32)
 
 
-def _make_spmm_kernel_compact_multi(s_per_step: int,
-                                    mxu_weights: bool = False):
+def _make_spmm_kernel_compact_multi(s_per_step: int):
     """Compact SpMM kernel processing ``s_per_step`` sender blocks per grid
     step. One-sender steps are dominated by per-step fixed costs (grid
     bookkeeping + DMA issue); batching S senders amortizes them S-fold
-    while keeping the same @pl.when-guarded skip semantics per sender.
-    With ``mxu_weights`` the receiver ref is its F1 homogeneous plane and
-    each sender ref its F2 plane (module "MXU weights" notes)."""
+    while keeping the same @pl.when-guarded skip semantics per sender."""
 
     def kernel(idx_ref, cnt_ref, r2_ref, pr_ref, *rest):
         senders = rest[:s_per_step]
         xs = rest[s_per_step:2 * s_per_step]
         out_ref = rest[2 * s_per_step]
+        rx_ref, ry_ref, rv_ref = rest[2 * s_per_step + 1:]
         j, kk = pl.program_id(0), pl.program_id(1)
 
         @pl.when(kk == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
+            _hoist_recv_planes(pr_ref, rx_ref, ry_ref, rv_ref)
 
-        if not mxu_weights:
-            xr, yr, vr = _unpack(pr_ref)
         for s in range(s_per_step):
             @pl.when(kk * s_per_step + s < cnt_ref[j])
             def _(s=s):
-                if mxu_weights:
-                    w_t = _homog_weights(pr_ref, senders[s], r2_ref[0])
-                    out_ref[:] += jnp.dot(w_t.astype(xs[s].dtype), xs[s][:],
-                                          preferred_element_type=jnp.float32)
-                else:
-                    w = _pair_weights(*_unpack(senders[s]), xr, yr, vr,
-                                      r2_ref[0])
-                    out_ref[:] += jnp.dot(w.astype(xs[s].dtype).T, xs[s][:],
-                                          preferred_element_type=jnp.float32)
+                w = _pair_weights_rs(rx_ref[:], ry_ref[:], rv_ref[:],
+                                     *_unpack(senders[s]), r2_ref[0])
+                out_ref[:] += jnp.dot(w.astype(xs[s].dtype), xs[s][:],
+                                      preferred_element_type=jnp.float32)
 
     return kernel
 
@@ -497,99 +411,10 @@ def geometric_degrees_compact(pos: jax.Array, radius, valid: jax.Array,
                               idx: jax.Array, count: jax.Array,
                               interpret: bool = False,
                               recv_pos: jax.Array | None = None,
-                              recv_valid: jax.Array | None = None,
-                              mxu_weights: bool = False) -> jax.Array:
+                              recv_valid: jax.Array | None = None) -> jax.Array:
     """Compact-grid variant of :func:`geometric_degrees`: only the (up to
-    ``cap``) active sender blocks per receiver are visited/DMA'd.
-    ``mxu_weights`` computes pair weights via the homogeneous-coordinate
-    MXU contraction instead of VPU broadcasts (see module notes)."""
+    ``cap``) active sender blocks per receiver are visited/DMA'd."""
     nb_r = (recv_pos if recv_pos is not None else pos).shape[0] // BLOCK
-    cap = idx.shape[1]
-    r2 = (jnp.asarray(radius, jnp.float32) ** 2).reshape(1)
-    if mxu_weights:
-        c = _homog_center(pos, valid)
-        ps = _homog_planes(pos, valid, c)
-        pr = (ps if recv_pos is None
-              else _homog_planes(recv_pos, recv_valid, c))
-        sF1, _, _, rF2 = _homog_specs()
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(nb_r, cap),
-            in_specs=[sF1, rF2],
-            out_specs=pl.BlockSpec((_SUB, BLOCK),
-                                   lambda j, k, *_: (j, 0),
-                                   memory_space=pltpu.VMEM))
-        kernel = _degree_kernel_compact_mxuw
-    else:
-        ps = _planes(pos, valid)
-        pr = ps if recv_pos is None else _planes(recv_pos, recv_valid)
-        send, recv = _compact_plane_specs()
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(nb_r, cap),
-            in_specs=[send, recv],
-            out_specs=pl.BlockSpec((_SUB, BLOCK),
-                                   lambda j, k, *_: (j, 0),
-                                   memory_space=pltpu.VMEM))
-        kernel = _degree_kernel_compact
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb_r * _SUB, BLOCK), jnp.float32,
-                                       vma=_join_vma(idx, ps, pr)),
-        interpret=interpret,
-    )(idx, count, r2, ps, pr)
-    return out.reshape(nb_r, _SUB, BLOCK)[:, 0].reshape(-1)
-
-
-# ------------------------------------------------- cached pair weights
-# The slope-timed anatomy (benchmarks/kernel_anatomy_r3.json) decomposes
-# the compact SpMM step at N=16k as 389 ns = 42 DMA + ~70 MXU matmul +
-# ~240 VPU pair-weight recompute + 22 bookkeeping: the weight recompute is
-# the dominant SERIAL term, and one filter application recomputes the same
-# weights K times (degree pass + K-1 hops). Building the 0/1 blocks ONCE
-# per application into HBM (bf16: exact for 0/1) turns each hop into a
-# pure DMA+matmul step — weight cost drops from ~240 ns of VPU compute to
-# ~40 ns of extra DMA, paid once more at build time.
-
-
-def _weights_build_kernel(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref,
-                          w_ref, deg_ref):
-    """One compact-grid pass producing both the [send, recv] 0/1 weight
-    block of each (receiver j, slot k) pair and the receiver degrees."""
-    j, k = pl.program_id(0), pl.program_id(1)
-
-    @pl.when(k == 0)
-    def _():
-        deg_ref[:] = jnp.zeros_like(deg_ref)
-
-    @pl.when(k < cnt_ref[j])
-    def _():
-        w = _pair_weights(*_unpack(pi_ref), *_unpack(pj_ref), r2_ref[0])
-        w_ref[:] = w.astype(w_ref.dtype)
-        deg_ref[0, :] += jnp.sum(w, axis=0)
-
-    @pl.when(k >= cnt_ref[j])
-    def _():
-        # fill slots must read as zero in the cached SpMM
-        w_ref[:] = jnp.zeros_like(w_ref)
-
-
-def geometric_weights_compact(pos: jax.Array, radius, valid: jax.Array,
-                              idx: jax.Array, count: jax.Array,
-                              interpret: bool = False,
-                              recv_pos: jax.Array | None = None,
-                              recv_valid: jax.Array | None = None,
-                              dtype=jnp.bfloat16):
-    """Materialize the compact grid's pair-weight blocks + degrees.
-
-    Returns ``(wblocks, degrees)`` with ``wblocks`` shaped
-    ``[(NB_r * cap) * BLOCK, BLOCK]`` (row-block ``j * cap + k`` holds the
-    [send, recv]-oriented 0/1 weights of receiver block j's k-th active
-    sender; fill slots zeroed) and ``degrees`` shaped ``[N_r]``. bf16
-    storage is exact for 0/1 weights and halves the per-hop DMA."""
-    nb_r = (recv_pos if recv_pos is not None else pos).shape[0] // BLOCK
-    n_r = nb_r * BLOCK
     cap = idx.shape[1]
     r2 = (jnp.asarray(radius, jnp.float32) ** 2).reshape(1)
     ps = _planes(pos, valid)
@@ -599,79 +424,18 @@ def geometric_weights_compact(pos: jax.Array, radius, valid: jax.Array,
         num_scalar_prefetch=3,
         grid=(nb_r, cap),
         in_specs=[send, recv],
-        out_specs=[
-            pl.BlockSpec((BLOCK, BLOCK),
-                         lambda j, k, *_: (j * cap + k, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SUB, BLOCK), lambda j, k, *_: (j, 0),
-                         memory_space=pltpu.VMEM),
-        ])
-    vma = _join_vma(idx, ps, pr)
-    wblocks, deg = pl.pallas_call(
-        _weights_build_kernel,
+        out_specs=pl.BlockSpec((BLOCK, 1),
+                               lambda j, k, *_: (j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=_recv_scratch())
+    out = pl.pallas_call(
+        _degree_kernel_compact,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((nb_r * cap * BLOCK, BLOCK), dtype,
-                                 vma=vma),
-            jax.ShapeDtypeStruct((nb_r * _SUB, BLOCK), jnp.float32,
-                                 vma=vma),
-        ],
+        out_shape=jax.ShapeDtypeStruct((nb_r * BLOCK, 1), jnp.float32,
+                                       vma=_join_vma(idx, ps, pr)),
         interpret=interpret,
     )(idx, count, r2, ps, pr)
-    return wblocks, deg.reshape(nb_r, _SUB, BLOCK)[:, 0].reshape(-1)[:n_r]
-
-
-def _make_spmm_kernel_cached():
-    def kernel(idx_ref, cnt_ref, w_ref, x_ref, out_ref):
-        j, k = pl.program_id(0), pl.program_id(1)
-
-        @pl.when(k == 0)
-        def _():
-            out_ref[:] = jnp.zeros_like(out_ref)
-
-        @pl.when(k < cnt_ref[j])
-        def _():
-            w = w_ref[:].astype(jnp.float32)        # [send, recv] 0/1
-            out_ref[:] += jnp.dot(w.T, x_ref[:],
-                                  preferred_element_type=jnp.float32)
-
-    return kernel
-
-
-def geometric_spmm_cached(wblocks: jax.Array, x: jax.Array,
-                          idx: jax.Array, count: jax.Array,
-                          interpret: bool = False) -> jax.Array:
-    """Compact-grid SpMM over pre-built weight blocks (see
-    :func:`geometric_weights_compact`): each step DMAs one weight block +
-    one sender x-block and runs the MXU matmul — no position planes, no
-    weight recompute. Fill slots map to the last active weight block
-    (consecutive-same DMAs are elided) and stay @pl.when-guarded."""
-    g = x.shape[1]
-    cap = idx.shape[1]
-    nb_r = wblocks.shape[0] // (cap * BLOCK)
-    n_r = nb_r * BLOCK
-
-    w_spec = pl.BlockSpec(
-        (BLOCK, BLOCK),
-        lambda j, k, idx_ref, cnt: (
-            j * cap + jnp.minimum(k, jnp.maximum(cnt[j] - 1, 0)), 0),
-        memory_space=pltpu.VMEM)
-    x_spec = pl.BlockSpec(
-        (BLOCK, g), lambda j, k, idx_ref, cnt: (idx_ref[j, k], 0),
-        memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nb_r, cap),
-        in_specs=[w_spec, x_spec],
-        out_specs=pl.BlockSpec((BLOCK, g), lambda j, k, *_: (j, 0),
-                               memory_space=pltpu.VMEM))
-    return pl.pallas_call(
-        _make_spmm_kernel_cached(),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_r, g), jnp.float32,
-                                       vma=_join_vma(idx, wblocks, x)),
-        interpret=interpret,
-    )(idx, count, wblocks, x)
+    return out.reshape(-1)
 
 
 def geometric_spmm_compact(pos: jax.Array, x: jax.Array, radius,
@@ -679,8 +443,7 @@ def geometric_spmm_compact(pos: jax.Array, x: jax.Array, radius,
                            count: jax.Array, interpret: bool = False,
                            recv_pos: jax.Array | None = None,
                            recv_valid: jax.Array | None = None,
-                           senders_per_step: int = 1,
-                           mxu_weights: bool = False) -> jax.Array:
+                           senders_per_step: int = 1) -> jax.Array:
     """Compact-grid variant of :func:`geometric_spmm`: the sender x-block
     DMA happens only for active block pairs (plus the <= cap fill slots),
     cutting HBM traffic by the inactive fraction — the dense-grid kernel
@@ -690,39 +453,12 @@ def geometric_spmm_compact(pos: jax.Array, x: jax.Array, radius,
     step (separate DMAs, shared step overhead) — the one-sender grid is
     per-step-overhead-bound at swarm scale. ``x`` may be bfloat16 (halved
     feature traffic); accumulation stays float32 and the 0/1 weights are
-    exactly representable, so bf16 only rounds the features themselves.
-
-    ``mxu_weights`` replaces the VPU broadcast weight recompute with the
-    homogeneous-coordinate MXU contraction, which also yields w already
-    transposed so the main matmul loses its transpose (module notes)."""
+    exactly representable, so bf16 only rounds the features themselves."""
     n, g = x.shape
     n_r = n if recv_pos is None else recv_pos.shape[0]
     nb_r = n_r // BLOCK
     r2 = (jnp.asarray(radius, jnp.float32) ** 2).reshape(1)
     s_step = max(1, int(senders_per_step))
-    if s_step == 1 and mxu_weights:
-        cap = idx.shape[1]
-        c = _homog_center(pos, valid)
-        ps = _homog_planes(pos, valid, c)
-        pr = (ps if recv_pos is None
-              else _homog_planes(recv_pos, recv_valid, c))
-        _, sF2, rF1, _ = _homog_specs()
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(nb_r, cap),
-            in_specs=[rF1, sF2,
-                      pl.BlockSpec((BLOCK, g),
-                                   lambda j, k, idx_ref, cnt, r2: (idx_ref[j, k], 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((BLOCK, g), lambda j, k, *_: (j, 0),
-                                   memory_space=pltpu.VMEM))
-        return pl.pallas_call(
-            _spmm_kernel_compact_mxuw,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n_r, g), jnp.float32,
-                                           vma=_join_vma(idx, ps, pr, x)),
-            interpret=interpret,
-        )(idx, count, r2, pr, ps, x)
     ps = _planes(pos, valid)
     pr = ps if recv_pos is None else _planes(recv_pos, recv_valid)
     if s_step == 1:
@@ -736,7 +472,8 @@ def geometric_spmm_compact(pos: jax.Array, x: jax.Array, radius,
                                    lambda j, k, idx_ref, cnt, r2: (idx_ref[j, k], 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((BLOCK, g), lambda j, k, *_: (j, 0),
-                                   memory_space=pltpu.VMEM))
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=_recv_scratch())
         out = pl.pallas_call(
             _spmm_kernel_compact,
             grid_spec=grid_spec,
@@ -749,31 +486,15 @@ def geometric_spmm_compact(pos: jax.Array, x: jax.Array, radius,
     idx_m = _pad_idx_multi(idx, s_step)
     steps = idx_m.shape[1] // s_step
 
-    if mxu_weights:
-        c = _homog_center(pos, valid)
-        ps = _homog_planes(pos, valid, c)
-        pr = (ps if recv_pos is None
-              else _homog_planes(recv_pos, recv_valid, c))
+    def send_spec(s):
+        return pl.BlockSpec(
+            (3 * _SUB, BLOCK),
+            lambda j, kk, idx_ref, cnt, r2, s=s: (
+                idx_ref[j, kk * s_step + s], 0),
+            memory_space=pltpu.VMEM)
 
-        def send_spec(s):  # sender F2 plane (block row 2i + 1)
-            return pl.BlockSpec(
-                (_SUB, BLOCK),
-                lambda j, kk, idx_ref, cnt, r2, s=s: (
-                    2 * idx_ref[j, kk * s_step + s] + 1, 0),
-                memory_space=pltpu.VMEM)
-
-        recv = pl.BlockSpec((_SUB, BLOCK), lambda j, kk, *_: (2 * j, 0),
-                            memory_space=pltpu.VMEM)
-    else:
-        def send_spec(s):
-            return pl.BlockSpec(
-                (3 * _SUB, BLOCK),
-                lambda j, kk, idx_ref, cnt, r2, s=s: (
-                    idx_ref[j, kk * s_step + s], 0),
-                memory_space=pltpu.VMEM)
-
-        recv = pl.BlockSpec((3 * _SUB, BLOCK), lambda j, kk, *_: (j, 0),
-                            memory_space=pltpu.VMEM)
+    recv = pl.BlockSpec((3 * _SUB, BLOCK), lambda j, kk, *_: (j, 0),
+                        memory_space=pltpu.VMEM)
 
     def x_spec(s):
         return pl.BlockSpec(
@@ -787,9 +508,10 @@ def geometric_spmm_compact(pos: jax.Array, x: jax.Array, radius,
         in_specs=[recv] + [send_spec(s) for s in range(s_step)]
                  + [x_spec(s) for s in range(s_step)],
         out_specs=pl.BlockSpec((BLOCK, g), lambda j, kk, *_: (j, 0),
-                               memory_space=pltpu.VMEM))
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=_recv_scratch())
     out = pl.pallas_call(
-        _make_spmm_kernel_compact_multi(s_step, mxu_weights=mxu_weights),
+        _make_spmm_kernel_compact_multi(s_step),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_r, g), jnp.float32,
                                        vma=_join_vma(idx_m, ps, pr, x)),
@@ -813,9 +535,7 @@ def _pad_idx_multi(idx: jax.Array, s_step: int) -> jax.Array:
 def make_geometric_ops(send_pos: jax.Array, send_valid: jax.Array, radius,
                        recv_pos: jax.Array | None = None,
                        recv_valid: jax.Array | None = None,
-                       cap: int | None = None, interpret: bool = False,
-                       mxu_weights: bool = False,
-                       cache_weights: bool = False):
+                       cap: int | None = None, interpret: bool = False):
     """Build ``(degrees_fn, spmm_fn)`` over the radius graph between a
     padded sender set and an (optionally rectangular) padded receiver set.
 
@@ -824,12 +544,6 @@ def make_geometric_ops(send_pos: jax.Array, send_valid: jax.Array, radius,
     to the exhaustive grid if any receiver block exceeds ``cap`` active
     senders, so results are exact either way. Shared by the single-chip
     filter and the sharded rollout/halo filter bodies.
-
-    ``cache_weights`` (requires ``cap``) materializes the 0/1 pair-weight
-    blocks once (:func:`geometric_weights_compact`) so the degree pass and
-    every hop reuse them instead of recomputing on the VPU — the dominant
-    serial term of the fused step (kernel_anatomy_r3). Exact: 0/1 weights
-    are exactly representable in the bf16 cache.
     """
     mask = block_pair_mask(send_pos, radius, send_valid,
                            recv_pos, recv_valid)
@@ -846,33 +560,6 @@ def make_geometric_ops(send_pos: jax.Array, send_valid: jax.Array, radius,
 
     idx, count, overflow = compact_sender_index(mask, cap)
 
-    if cache_weights:
-        # Built once per make_geometric_ops trace; under overflow the
-        # blocks are unused (the exhaustive fallback recomputes exactly).
-        wblocks, deg_cached = geometric_weights_compact(
-            send_pos, radius, send_valid, idx, count, interpret,
-            recv_pos, recv_valid)
-
-        def degrees_fn():
-            return jax.lax.cond(
-                overflow,
-                lambda a: geometric_degrees(a[0], radius, a[1], mask,
-                                            interpret, recv_pos,
-                                            recv_valid),
-                lambda a: deg_cached,
-                (send_pos, send_valid))
-
-        def spmm_fn(z):
-            return jax.lax.cond(
-                overflow,
-                lambda a: geometric_spmm(a[0], a[1], radius, a[2], mask,
-                                         interpret, recv_pos, recv_valid),
-                lambda a: geometric_spmm_cached(wblocks, a[1], idx, count,
-                                                interpret),
-                (send_pos, z, send_valid))
-
-        return degrees_fn, spmm_fn
-
     def degrees_fn():
         return jax.lax.cond(
             overflow,
@@ -880,8 +567,7 @@ def make_geometric_ops(send_pos: jax.Array, send_valid: jax.Array, radius,
                                         interpret, recv_pos, recv_valid),
             lambda a: geometric_degrees_compact(a[0], radius, a[1], idx,
                                                 count, interpret,
-                                                recv_pos, recv_valid,
-                                                mxu_weights=mxu_weights),
+                                                recv_pos, recv_valid),
             (send_pos, send_valid))
 
     def spmm_fn(z):
@@ -891,8 +577,7 @@ def make_geometric_ops(send_pos: jax.Array, send_valid: jax.Array, radius,
                                      interpret, recv_pos, recv_valid),
             lambda a: geometric_spmm_compact(a[0], a[1], radius, a[2], idx,
                                              count, interpret,
-                                             recv_pos, recv_valid,
-                                             mxu_weights=mxu_weights),
+                                             recv_pos, recv_valid),
             (send_pos, z, send_valid))
 
     return degrees_fn, spmm_fn
@@ -902,9 +587,7 @@ def graph_filter_geometric(pos: jax.Array, x: jax.Array, radius,
                            weights: jax.Array, bias: jax.Array | None = None,
                            valid: jax.Array | None = None,
                            interpret: bool = False,
-                           cap: int | None = None,
-                           mxu_weights: bool = False,
-                           cache_weights: bool = False) -> jax.Array:
+                           cap: int | None = None) -> jax.Array:
     """Full K-tap graph filter over the radius graph without materializing
     the GSO: matches ``ops.graph_filter(x, normalize(adjacency(pos, r)), w,
     b)`` on the valid lanes.
@@ -924,9 +607,7 @@ def graph_filter_geometric(pos: jax.Array, x: jax.Array, radius,
     if valid is None:
         valid = jnp.ones((n,), jnp.float32)
     degrees_fn, spmm = make_geometric_ops(pos, valid, radius, cap=cap,
-                                          interpret=interpret,
-                                          mxu_weights=mxu_weights,
-                                          cache_weights=cache_weights)
+                                          interpret=interpret)
     deg = degrees_fn()
     inv_sqrt = jnp.where(deg > 1e-9, jax.lax.rsqrt(jnp.maximum(deg, 1e-9)),
                          0.0)

@@ -73,9 +73,7 @@ def halo_filter_body(x_loc: jax.Array, pos_loc: jax.Array, r: jax.Array,
                      taps: jax.Array, bias: jax.Array | None, axis: str,
                      num_shards: int, geometric: bool = False,
                      cap: int | None = None,
-                     interpret: bool = False,
-                     mxu_weights: bool = False,
-                     cache_weights: bool = False) -> jax.Array:
+                     interpret: bool = False) -> jax.Array:
     """K-tap graph filter inner body with neighbor-only halo exchange
     (callable inside any shard_map over ``axis``): x_loc [N/d, G],
     pos_loc [N/d, 2] -> [N/d, F].
@@ -120,9 +118,7 @@ def halo_filter_body(x_loc: jax.Array, pos_loc: jax.Array, r: jax.Array,
         recv_pad, _, rv_pad = pad_agents(pos_loc)
         degrees_fn, spmm = make_geometric_ops(send_pad, sv_pad, r,
                                               recv_pad, rv_pad, cap,
-                                              interpret,
-                                              mxu_weights=mxu_weights,
-                                              cache_weights=cache_weights)
+                                              interpret)
         deg_loc = degrees_fn()[:n_loc]
         inv_loc = jnp.where(deg_loc > 1e-9,
                             jax.lax.rsqrt(jnp.maximum(deg_loc, 1e-9)), 0.0)
@@ -198,8 +194,7 @@ def halo_graph_filter_sharded(mesh: Mesh, x: jax.Array, pos: jax.Array,
                               axis: str = "agents",
                               geometric: bool = False,
                               cap: int | None = None,
-                              interpret: bool = False,
-                              mxu_weights: bool = False) -> jax.Array:
+                              interpret: bool = False) -> jax.Array:
     """Strip-partitioned K-tap graph filter over a sharded agent axis.
 
     Args:
@@ -224,8 +219,7 @@ def halo_graph_filter_sharded(mesh: Mesh, x: jax.Array, pos: jax.Array,
     def body(x_loc, pos_loc, w, b):
         return halo_filter_body(x_loc, pos_loc, r, w, b, axis, num_shards,
                                 geometric=geometric, cap=cap,
-                                interpret=interpret,
-                                mxu_weights=mxu_weights)
+                                interpret=interpret)
 
     # the pallas interpreter/lowering cannot yet mix varying operands with
     # invariant grid indices (same workaround as swarm_rollout).

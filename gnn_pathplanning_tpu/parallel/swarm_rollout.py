@@ -83,9 +83,7 @@ def geometric_filter_body(x_loc: jax.Array, pos_loc: jax.Array,
                           pos_full: jax.Array, r: jax.Array, taps: jax.Array,
                           bias: jax.Array | None, axis: str,
                           interpret: bool = False,
-                          cap: int | None = None,
-                          mxu_weights: bool = False,
-                          cache_weights: bool = False) -> jax.Array:
+                          cap: int | None = None) -> jax.Array:
     """K-tap graph filter inner body on the *geometric* Pallas path
     (callable inside any shard_map over ``axis``): x_loc [N/d, G],
     pos_loc [N/d, 2], pos_full [N, 2] -> [N/d, F].
@@ -105,9 +103,7 @@ def geometric_filter_body(x_loc: jax.Array, pos_loc: jax.Array,
     # neither branch holds collectives, so per-chip divergence is fine.
     degrees_fn, spmm = make_geometric_ops(send_pos, send_valid, r,
                                           recv_pos, recv_valid, cap,
-                                          interpret,
-                                          mxu_weights=mxu_weights,
-                                          cache_weights=cache_weights)
+                                          interpret)
 
     # Degrees: each chip computes its receivers' degrees against the full
     # sender set, then the full inverse-sqrt vector is assembled by halo
@@ -162,9 +158,7 @@ def swarm_rollout_halo(mesh: Mesh, variables, grid: jax.Array,
                        geometric: bool = False,
                        cap: int | None = None,
                        interpret: bool = False,
-                       on_inexact: str = "fallback",
-                       mxu_weights: bool = False,
-                       cache_weights: bool = False) -> HaloRollout:
+                       on_inexact: str = "fallback") -> HaloRollout:
     """Closed-loop rollout with *constant per-chip collective volume*.
 
     Every step re-partitions agents into x-sorted strips (ownership is
@@ -240,8 +234,7 @@ def swarm_rollout_halo(mesh: Mesh, variables, grid: jax.Array,
                 return halo_filter_body(
                     feat, ploc.astype(jnp.float32), r, taps, gfl_bias,
                     axis, d, geometric=geometric, cap=cap,
-                    interpret=interpret, mxu_weights=mxu_weights,
-                    cache_weights=cache_weights)
+                    interpret=interpret)
 
             def exact_branch(feat, ploc):
                 # Exact regardless of strip geometry: senders are the whole
@@ -250,9 +243,7 @@ def swarm_rollout_halo(mesh: Mesh, variables, grid: jax.Array,
                 if geometric:
                     return geometric_filter_body(
                         feat, ploc, pos_full, r, taps, gfl_bias, axis,
-                        interpret=interpret, cap=cap,
-                        mxu_weights=mxu_weights,
-                        cache_weights=cache_weights)
+                        interpret=interpret, cap=cap)
                 s_cols = gso_cols_body(ploc.astype(jnp.float32), r, axis)
                 return graph_filter_body(feat, s_cols, taps, gfl_bias, axis)
 
@@ -318,9 +309,7 @@ def swarm_rollout(mesh: Mesh, variables, grid: jax.Array, starts: jax.Array,
                   key: jax.Array, axis: str = "agents",
                   geometric: bool = False,
                   interpret: bool = False,
-                  cap: int | None = None,
-                  mxu_weights: bool = False,
-                  cache_weights: bool = False) -> SwarmRollout:
+                  cap: int | None = None) -> SwarmRollout:
     """Run `steps` closed-loop steps with the agent axis sharded over
     ``axis``. N must be divisible by the mesh axis size.
 
@@ -362,8 +351,7 @@ def swarm_rollout(mesh: Mesh, variables, grid: jax.Array, starts: jax.Array,
                 pos_full_s = jax.lax.all_gather(pos_s, axis, tiled=True)
                 y_s = jax.nn.relu(geometric_filter_body(
                     feat_s, pos_s, pos_full_s, r, taps, gfl_bias, axis,
-                    interpret=interpret, cap=cap, mxu_weights=mxu_weights,
-                    cache_weights=cache_weights))
+                    interpret=interpret, cap=cap))
                 y_loc = y_s[inv]
             else:
                 s_cols = gso_cols_body(pos_loc.astype(jnp.float32), r, axis)

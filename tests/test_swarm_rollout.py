@@ -264,62 +264,3 @@ def test_swarm_rollout_halo_inexact_gate(mesh, model_vars, rng):
     with pytest.raises(ValueError):
         swarm_rollout_halo(mesh, variables, grid, starts, goals, radius,
                            steps, jax.random.PRNGKey(9), on_inexact="typo")
-
-
-def test_swarm_rollout_geometric_mxu_weights_matches_dense(mesh, model_vars,
-                                                           rng):
-    """geometric=True + mxu_weights=True (homogeneous MXU weight route,
-    interpret mode) matches the dense path's trajectories exactly."""
-    model, variables = model_vars
-    n, w = 16, 24
-    grid = np.zeros((w, w), np.float32)
-    block = np.array([(x, y) for x in range(4, 12) for y in range(4, 12)])
-    idx = rng.choice(len(block), n, replace=False)
-    starts = block[idx].astype(np.int32)
-    free = np.argwhere(grid == 0)
-    gidx = rng.choice(len(free), n, replace=False)
-    goals = free[gidx].astype(np.int32)
-    steps, radius = 6, 5.5
-
-    dense = swarm_rollout(mesh, variables, grid, starts, goals, radius,
-                          steps, jax.random.PRNGKey(3))
-    geo = swarm_rollout(mesh, variables, grid, starts, goals, radius,
-                        steps, jax.random.PRNGKey(3), geometric=True,
-                        interpret=True, cap=2, mxu_weights=True)
-    np.testing.assert_array_equal(np.asarray(geo.paths),
-                                  np.asarray(dense.paths))
-    np.testing.assert_array_equal(np.asarray(geo.reached),
-                                  np.asarray(dense.reached))
-
-
-def test_swarm_rollout_cache_weights_matches_dense_path(mesh, model_vars,
-                                                        rng):
-    """cache_weights=True (pair-weight blocks built once per filter
-    application) must leave trajectories identical on both the geometric
-    and the halo rollout."""
-    from gnn_pathplanning_tpu.parallel.swarm_rollout import swarm_rollout_halo
-    model, variables = model_vars
-    n, w = 16, 24
-    grid = (rng.rand(w, w) < 0.08).astype(np.float32)
-    grid[4:12, 4:12] = 0.0
-    block = np.array([(x, y) for x in range(4, 12) for y in range(4, 12)])
-    idx = rng.choice(len(block), n, replace=False)
-    starts = block[idx].astype(np.int32)
-    free = np.argwhere(grid == 0)
-    gidx = rng.choice(len(free), n, replace=False)
-    goals = free[gidx].astype(np.int32)
-    steps, radius = 4, 5.5
-
-    dense = swarm_rollout(mesh, variables, grid, starts, goals, radius,
-                          steps, jax.random.PRNGKey(3))
-    cached = swarm_rollout(mesh, variables, grid, starts, goals, radius,
-                           steps, jax.random.PRNGKey(3), geometric=True,
-                           interpret=True, cap=4, cache_weights=True)
-    np.testing.assert_array_equal(np.asarray(cached.paths),
-                                  np.asarray(dense.paths))
-    halo_cached = swarm_rollout_halo(mesh, variables, grid, starts, goals,
-                                     radius, steps, jax.random.PRNGKey(3),
-                                     geometric=True, interpret=True, cap=4,
-                                     cache_weights=True)
-    np.testing.assert_array_equal(np.asarray(halo_cached.paths),
-                                  np.asarray(dense.paths))

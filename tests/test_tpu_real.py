@@ -100,30 +100,11 @@ spmm_bf16 = jax.jit(lambda: geometric_spmm_compact(
     pos2_p, x2_p.astype(jnp.bfloat16), 6.0, valid2, cidx, ccount,
     senders_per_step=4))()
 
-# Homogeneous-coordinate MXU weight route on the real chip: the d2
-# contraction must stay EXACT under Mosaic's HIGHEST-precision matmul
-# (ops/pallas_swarm.py "MXU weights" notes) — degrees are integer counts,
-# so any inexactness shows up as a hard mismatch.
+# Compact degree kernel on the real chip (column-form output path).
 from gnn_pathplanning_tpu.ops.pallas_swarm import geometric_degrees_compact
 
-spmm_mxuw = jax.jit(lambda: geometric_spmm_compact(
-    pos2_p, x2_p, 6.0, valid2, cidx, ccount, mxu_weights=True))()
-deg_mxuw = jax.jit(lambda: geometric_degrees_compact(
-    pos2_p, 6.0, valid2, cidx, ccount, mxu_weights=True))()
 deg_vpu = jax.jit(lambda: geometric_degrees_compact(
     pos2_p, 6.0, valid2, cidx, ccount))()
-
-# Cached pair-weight blocks on the real chip: build once (weights +
-# degrees in one pass), reuse for the SpMM — must match the recompute
-# grid bit-for-bit (0/1 weights are exact in the bf16 cache, so the same
-# operands reach the same matmul).
-from gnn_pathplanning_tpu.ops.pallas_swarm import (geometric_spmm_cached,
-                                                   geometric_weights_compact)
-
-wb_c, deg_cached = jax.jit(lambda: geometric_weights_compact(
-    pos2_p, 6.0, valid2, cidx, ccount))()
-spmm_cached = jax.jit(lambda w: geometric_spmm_cached(w, x2_p, cidx,
-                                                      ccount))(wb_c)
 
 # --- B=4440 FOV + forward canary (the round-2 miscompile class: an
 # XLA:TPU scatter at >=24k windows silently zeroed the goal channel and a
@@ -158,10 +139,7 @@ np.savez(out_path, dense=np.asarray(dense), geo=np.asarray(geo),
          pos2=pos2, x2=x2, compact=np.asarray(compact),
          valid2=np.asarray(valid2), spmm_s1=np.asarray(spmm_s1),
          spmm_s4=np.asarray(spmm_s4), spmm_bf16=np.asarray(spmm_bf16),
-         spmm_mxuw=np.asarray(spmm_mxuw), deg_mxuw=np.asarray(deg_mxuw),
          deg_vpu=np.asarray(deg_vpu),
-         spmm_cached=np.asarray(spmm_cached),
-         deg_cached=np.asarray(deg_cached),
          fov4440=np.asarray(obs4440), acts4440=acts4440)
 print("tpu child ok")
 """
@@ -334,34 +312,12 @@ def test_forward_canary_b4440_argmax(tpu_results):
     assert agreement >= 0.995, f"TPU/CPU argmax agreement {agreement:.4f}"
 
 
-def test_mxu_weights_exact_on_tpu(tpu_results):
-    """Real-TPU homogeneous MXU weight route: degrees (integer neighbor
-    counts) must match the VPU route EXACTLY — any inexactness in the
-    HIGHEST-precision d2 contraction shows up here as a hard mismatch —
-    and the SpMM must match at ulp tolerance (transposed accumulation)."""
-    np.testing.assert_array_equal(tpu_results["deg_mxuw"],
-                                  tpu_results["deg_vpu"])
-    np.testing.assert_allclose(tpu_results["spmm_mxuw"],
-                               tpu_results["spmm_s1"],
-                               rtol=1e-5, atol=1e-5)
 
-    # and against the CPU adjacency oracle
-    pos2, x2 = tpu_results["pos2"], tpu_results["x2"]
+def test_compact_degrees_match_cpu(tpu_results):
+    """Real-TPU compact degree kernel (column-form output): integer
+    neighbor counts must match the CPU adjacency oracle exactly."""
+    pos2 = tpu_results["pos2"]
     d2 = ((pos2[:, None] - pos2[None]) ** 2).sum(-1)
     w = ((d2 < 36.0) & (d2 > 0)).astype(np.float32)
-    want = w.T @ x2
-    got = tpu_results["spmm_mxuw"][tpu_results["valid2"].astype(bool)]
-    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
-    deg = tpu_results["deg_mxuw"][tpu_results["valid2"].astype(bool)]
+    deg = tpu_results["deg_vpu"][tpu_results["valid2"].astype(bool)]
     np.testing.assert_array_equal(deg, w.sum(axis=0))
-
-
-def test_cached_weights_exact_on_tpu(tpu_results):
-    """Real-TPU cached pair-weight route: the bf16 0/1 weight cache must
-    reproduce the recompute grid bit-for-bit — degrees from the build
-    pass equal the VPU recompute's, and the cached SpMM equals the
-    one-sender compact SpMM exactly (same operands, same matmul)."""
-    np.testing.assert_array_equal(tpu_results["deg_cached"],
-                                  tpu_results["deg_vpu"])
-    np.testing.assert_array_equal(tpu_results["spmm_cached"],
-                                  tpu_results["spmm_s1"])
