@@ -65,6 +65,15 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (sitecustomize pins axon; "
                          "the env var does not work on this rig)")
+    ap.add_argument("--gen-pools", type=str, nargs="*", default=[],
+                    help="extra selection pools 'path:limit' (e.g. the "
+                         "28x28/20 and 40x40/40 valid2 pools). The top "
+                         "--gen-top candidates by primary-pool rate are "
+                         "re-scored on each; the winner maximizes the "
+                         "MEAN rate_ReachGoal across primary+gen pools. "
+                         "Use for legs whose objective is generalization "
+                         "(the mixed-distribution recipe).")
+    ap.add_argument("--gen-top", type=int, default=5)
     ap.add_argument("--ensemble-extra", type=str, default=None,
                     help="external checkpoint path: scored STANDALONE as a "
                          "candidate (so a fine-tune that never beats its "
@@ -116,6 +125,34 @@ def main():
 
     # Winner: success rate, then lower flowtime deterioration as tiebreak.
     rows.sort(key=lambda r: (-r["rate_ReachGoal"], r["mean_deltaFT"]))
+
+    if args.gen_pools:
+        # Generalization-aware selection: re-score the primary top-K on
+        # each gen pool; winner maximizes the mean rate across all pools.
+        gen_sets = []
+        for spec in args.gen_pools:
+            path, _, lim = spec.rpartition(":")
+            gen_sets.append((path, load_split(path, limit=int(lim))))
+        cand_map = dict(candidates)
+        finalists = rows[:args.gen_top]
+        for row in finalists:
+            trainer.state = cand_map[row["name"]]
+            rates = [row["rate_ReachGoal"]]
+            for path, gpool in gen_sets:
+                gm = trainer.validate_rollout(
+                    gpool, limit=gpool.num_cases,
+                    label=f"{row['name']}@{Path(path).parts[-3]}")
+                key = f"rate@{Path(path).parts[-3]}"
+                row[key] = gm["rate_ReachGoal"]
+                rates.append(gm["rate_ReachGoal"])
+            row["mean_rate_all_pools"] = float(np.mean(rates))
+            print(f"{row['name']:24s} mean_all_pools="
+                  f"{row['mean_rate_all_pools']:.4f} "
+                  + " ".join(f"{k}={v:.3f}" for k, v in row.items()
+                             if k.startswith("rate@")), flush=True)
+        finalists.sort(key=lambda r: (-r["mean_rate_all_pools"],
+                                      r["mean_deltaFT"]))
+        rows = finalists + rows[args.gen_top:]
     winner = rows[0]["name"]
     state = dict(candidates)[winner]
 
