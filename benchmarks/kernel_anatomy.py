@@ -179,6 +179,57 @@ def build_variants(pos_pad, valid, r, idx, count, g, interpret=False):
             out_ref[:] += jnp.dot(w.astype(x_ref.dtype), x_ref[:],
                                   preferred_element_type=jnp.float32)
 
+    # -- software-pipelined full kernel: grid (nb_r, cap+1); step k builds
+    # the weights of pair (j, k) into wbuf[k%2] while the MXU consumes
+    # wbuf[(k-1)%2] against pair (j, k-1)'s x block — the build and the
+    # matmul of one step are INDEPENDENT, so Mosaic may schedule VPU and
+    # MXU concurrently instead of serializing them (the serial sum is the
+    # round-3 389 ns; the overlapped bound is max(build, matmul+dma)).
+    def k_full_pipe(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref, x_ref,
+                    out_ref, rx_ref, ry_ref, rv_ref, wbuf_ref):
+        j, k = pl.program_id(0), pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+            _hoist_recv_planes(pj_ref, rx_ref, ry_ref, rv_ref)
+
+        @pl.when((k < cap) & (k < cnt_ref[j]))
+        def _():
+            w = _pair_weights_rs(rx_ref[:], ry_ref[:], rv_ref[:],
+                                 *_unpack(pi_ref), r2_ref[0])
+            wbuf_ref[k % 2] = w
+
+        @pl.when((k >= 1) & (k - 1 < cnt_ref[j]))
+        def _():
+            out_ref[:] += jnp.dot(wbuf_ref[(k - 1) % 2], x_ref[:],
+                                  preferred_element_type=jnp.float32)
+
+    def call_pipe(*ops_):
+        send_pipe = pl.BlockSpec(
+            (3 * 8, BLOCK),
+            lambda j, k, idx_ref, cnt, r2: (
+                idx_ref[j, jnp.minimum(k, cap - 1)], 0),
+            memory_space=pltpu.VMEM)
+        recv_pipe = pl.BlockSpec((3 * 8, BLOCK),
+                                 lambda j, k, *_: (j, 0),
+                                 memory_space=pltpu.VMEM)
+        x_pipe = pl.BlockSpec(
+            (BLOCK, g),
+            lambda j, k, idx_ref, cnt, r2: (
+                idx_ref[j, jnp.clip(k - 1, 0, cap - 1)], 0),
+            memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3, grid=(nb_r, cap + 1),
+            in_specs=[send_pipe, recv_pipe, x_pipe], out_specs=out_spec,
+            scratch_shapes=_recv_scratch()
+            + [pltpu.VMEM((2, BLOCK, BLOCK), jnp.float32)])
+        return pl.pallas_call(
+            k_full_pipe, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((nb_r * BLOCK, g), jnp.float32),
+            interpret=interpret,
+        )(idx, count, r2, *ops_)
+
     # -- full kernel, round-3 legacy orientation
     def k_full_legacy(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref, x_ref,
                       out_ref):
@@ -207,6 +258,7 @@ def build_variants(pos_pad, valid, r, idx, count, g, interpret=False):
                                          ps_v, ps_v, x),
         "full_hoisted": lambda x: call(k_full, [send_v, recv_v, x_spec],
                                        ps_v, ps_v, x, scratch=True),
+        "full_pipelined": lambda x: call_pipe(ps_v, ps_v, x),
         "full_legacy": lambda x: call(k_full_legacy,
                                       [send_v, recv_v, x_spec],
                                       ps_v, ps_v, x),
