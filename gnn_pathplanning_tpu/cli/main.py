@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_root", type=str, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--online_expert", action="store_true", default=None)
+    p.add_argument("--oe_cache_weight", type=int, default=None,
+                   help="repeat the OE failure cache this many times in "
+                        "the rebuilt training set (DAgger oversampling; "
+                        "1 = reference-proportional merge)")
     p.add_argument("--data_augment", action="store_true", default=None,
                    help="D4 symmetry augmentation of training samples")
     p.add_argument("--deadlock_break", type=int, default=None,
@@ -176,7 +180,8 @@ def main(argv=None) -> int:
                 model, tcfg, cfg.exp_dir, train_set, valid_set,
                 trainable_filter=trainable_filter,
                 oe_cfg=OnlineExpertConfig(start_epoch=cfg.Start_onlineExpert,
-                                          num_rollouts=cfg.num_test_trainingSet),
+                                          num_rollouts=cfg.num_test_trainingSet,
+                                          cache_repeat=cfg.oe_cache_weight),
                 train_dir=f"{cfg.dataset_root}/train")
         else:
             trainer = Trainer(model, tcfg, cfg.exp_dir, train_set, valid_set,

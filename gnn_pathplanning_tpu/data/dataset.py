@@ -196,18 +196,27 @@ def _scan_dir(path: Path, exts=(".npz", ".mat")) -> list[Path]:
 
 def load_split(dir_path: str | Path, limit: int | None = None,
                extra_dirs: Sequence[str | Path] = (),
+               extra_repeat: int = 1,
                shard_index: int = 0, num_shards: int = 1) -> CaseDataset:
     """Load every record under ``dir_path`` (plus online-expert extras).
+
+    ``extra_repeat`` appends the extra-dir records that many times —
+    DAgger-correction oversampling (a leg-2 harvest of ~450 short failure
+    cases is ~0.4% of the 1M-sample base pool, so at natural proportions
+    the online-expert signal drowns; the reference merges proportionally,
+    Dataloader...py:115-130, so repeat=1 is reference semantics).
 
     ``shard_index``/``num_shards`` give per-host dataset sharding for
     multi-host training (each host loads a disjoint stride of the file
     list); pass ``jax.process_index()`` / ``jax.process_count()``.
     """
     files: list[Path] = _scan_dir(Path(dir_path))
+    extra_files: list[Path] = []
     for extra in extra_dirs:
         p = Path(extra)
         if p.is_dir():
-            files += _scan_dir(p)
+            extra_files += _scan_dir(p)
+    files += extra_files * max(1, int(extra_repeat))
     if limit is not None:
         files = files[:limit]
     if num_shards > 1:
@@ -217,8 +226,11 @@ def load_split(dir_path: str | Path, limit: int | None = None,
             f"no case records (*.npz / *.mat) found under {dir_path!s}"
             + (f" (+ extras {list(map(str, extra_dirs))})" if extra_dirs else "")
             + " — generate a dataset first (cli --mode gen_data)")
+    cache: dict = {}
     records = []
     for f in files:
-        records.append(load_record(f) if f.suffix == ".npz"
-                       else load_reference_mat(f))
+        if f not in cache:
+            cache[f] = (load_record(f) if f.suffix == ".npz"
+                        else load_reference_mat(f))
+        records.append(cache[f])
     return CaseDataset(records)

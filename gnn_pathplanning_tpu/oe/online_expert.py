@@ -39,6 +39,9 @@ class OnlineExpertConfig:
     workers: int = 4
     num_rollouts: int = 500        # reference num_test_trainingSet
     comm_radius: float = 6.0
+    # DAgger oversampling of the failure cache (1 = reference-proportional
+    # merge; docs/stall_analysis_r4.md motivates > 1)
+    cache_repeat: int = 1
 
 
 def harvest_failures(rollout, cases) -> CasePool:
@@ -116,7 +119,8 @@ class OnlineExpertTrainer(Trainer):
         # epochs on every rebuild, Dataloader...py:115-130).
         cached = self.online_expert.cache_dirs()
         if cached and self.train_dir is not None:
-            self.train_set = load_split(self.train_dir, extra_dirs=cached)
+            self.train_set = load_split(self.train_dir, extra_dirs=cached,
+                                        extra_repeat=self.oe_cfg.cache_repeat)
 
     def run_online_expert(self, epoch: int) -> int:
         """Harvest failures from a rollout over training-set cases, solve,
@@ -148,8 +152,9 @@ class OnlineExpertTrainer(Trainer):
         pool = harvest_failures(out, cases)
         saved = self.online_expert.solve_and_cache(pool, epoch)
         if saved and self.train_dir is not None:
-            self.train_set = load_split(self.train_dir,
-                                        extra_dirs=self.online_expert.cache_dirs())
+            self.train_set = load_split(
+                self.train_dir, extra_dirs=self.online_expert.cache_dirs(),
+                extra_repeat=self.oe_cfg.cache_repeat)
         self.logger.log("online_expert", epoch, harvested=len(pool.grids),
                         solved=saved, train_cases=self.train_set.num_cases)
         return saved

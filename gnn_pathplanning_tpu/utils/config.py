@@ -53,6 +53,7 @@ DEFAULTS = Config(
     num_test_trainingSet=500,
     Start_onlineExpert=20,
     online_expert=False,
+    oe_cache_weight=1,
     data_augment=False,
     tta=False,
     deadlock_break=0,

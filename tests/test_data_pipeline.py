@@ -263,3 +263,39 @@ def test_mixed_dataset_train_step_smoke(rng):
                       valid_set=ds20)
     loss = trainer.train_one_epoch(0)
     assert np.isfinite(loss)
+
+
+def test_load_split_extra_repeat(tmp_path):
+    """DAgger oversampling: extra_repeat appends the extra-dir (OE cache)
+    records that many times; repeat=1 is the reference-proportional merge."""
+    import numpy as np
+
+    from gnn_pathplanning_tpu.data.dataset import load_split
+    from gnn_pathplanning_tpu.data.transform import (record_from_solution,
+                                                     save_record)
+
+    deltas = np.array([[-1, 0], [0, -1], [1, 0], [0, 1], [0, 0]])
+
+    def rec(seed):
+        rng = np.random.RandomState(seed)
+        grid = np.zeros((8, 8), np.uint8)
+        p0 = rng.randint(1, 7, (3, 2))
+        sched = [p0]
+        for _ in range(3):   # unit random walk (clip -> stop, still valid)
+            sched.append(np.clip(sched[-1] + deltas[rng.randint(0, 5, 3)],
+                                 0, 7))
+        sched = np.stack(sched)
+        return record_from_solution(grid, sched[-1], sched)
+
+    base, extra = tmp_path / "base", tmp_path / "extra"
+    base.mkdir(), extra.mkdir()
+    for i in range(3):
+        save_record(base / f"b{i}.npz", rec(i))
+    save_record(extra / "oe0.npz", rec(99))
+
+    plain = load_split(base, extra_dirs=[extra])
+    heavy = load_split(base, extra_dirs=[extra], extra_repeat=5)
+    assert plain.num_cases == 4
+    assert heavy.num_cases == 3 + 5
+    extra_samples = plain.num_samples - load_split(base).num_samples
+    assert heavy.num_samples == plain.num_samples + 4 * extra_samples
