@@ -35,4 +35,11 @@ timeout 5400 python benchmarks/swarm_stress.py --agents 65536 --steps 8 \
   --paths compact halo \
   --out benchmarks/swarm_stress_r4_n65536.json 2>&1 | grep -v WARNING | tail -4
 
+echo "=== ROLLOUT BATCH-SCALING PROBE ==="
+timeout 3600 python benchmarks/rollout_scaling.py 2>&1 | grep -v WARNING | tail -6
+
+echo "=== REAL-TPU KERNEL TESTS ==="
+timeout 1800 python -m pytest tests/test_tpu_real.py -q -m tpu 2>&1 \
+  | grep -v WARNING | tail -2
+
 echo "round-4 bench sweep done at $(date -u)"
