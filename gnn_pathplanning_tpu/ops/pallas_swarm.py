@@ -350,19 +350,31 @@ def _degree_kernel_compact(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref,
 
 
 def _spmm_kernel_compact(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref, x_ref,
-                         out_ref, rx_ref, ry_ref, rv_ref):
+                         out_ref, rx_ref, ry_ref, rv_ref, wbuf_ref):
+    """Software-pipelined compact SpMM: the inner grid runs cap + 1 steps;
+    step k BUILDS pair (j, k)'s weights into ``wbuf[k % 2]`` (VPU) while
+    the MXU consumes ``wbuf[(k-1) % 2]`` against pair (j, k-1)'s x block —
+    the two halves of one step are data-independent, so Mosaic can overlap
+    VPU and MXU instead of serializing build -> matmul (the serial sum was
+    the r3 389 ns/step; the overlapped bound is max(build, matmul+dma))."""
     j, k = pl.program_id(0), pl.program_id(1)
+    cap = pl.num_programs(1) - 1
 
     @pl.when(k == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
         _hoist_recv_planes(pj_ref, rx_ref, ry_ref, rv_ref)
 
-    @pl.when(k < cnt_ref[j])
+    @pl.when((k < cap) & (k < cnt_ref[j]))
     def _():
         w = _pair_weights_rs(rx_ref[:], ry_ref[:], rv_ref[:],
                              *_unpack(pi_ref), r2_ref[0])
-        out_ref[:] += jnp.dot(w.astype(x_ref.dtype), x_ref[:],
+        wbuf_ref[k % 2] = w
+
+    @pl.when((k >= 1) & (k - 1 < cnt_ref[j]))
+    def _():
+        out_ref[:] += jnp.dot(wbuf_ref[(k - 1) % 2].astype(x_ref.dtype),
+                              x_ref[:],
                               preferred_element_type=jnp.float32)
 
 
@@ -463,17 +475,30 @@ def geometric_spmm_compact(pos: jax.Array, x: jax.Array, radius,
     pr = ps if recv_pos is None else _planes(recv_pos, recv_valid)
     if s_step == 1:
         cap = idx.shape[1]
-        send, recv = _compact_plane_specs()
+        # pipelined grid: senders run one step ahead of the matmul (see
+        # _spmm_kernel_compact); x blocks arrive one slot late, clamped
+        # index maps keep every access in range on the boundary steps
+        send = pl.BlockSpec(
+            (3 * _SUB, BLOCK),
+            lambda j, k, idx_ref, cnt, r2: (
+                idx_ref[j, jnp.minimum(k, cap - 1)], 0),
+            memory_space=pltpu.VMEM)
+        recv = pl.BlockSpec((3 * _SUB, BLOCK),
+                            lambda j, k, *_: (j, 0),
+                            memory_space=pltpu.VMEM)
+        x_spec = pl.BlockSpec(
+            (BLOCK, g),
+            lambda j, k, idx_ref, cnt, r2: (
+                idx_ref[j, jnp.clip(k - 1, 0, cap - 1)], 0),
+            memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(nb_r, cap),
-            in_specs=[send, recv,
-                      pl.BlockSpec((BLOCK, g),
-                                   lambda j, k, idx_ref, cnt, r2: (idx_ref[j, k], 0),
-                                   memory_space=pltpu.VMEM)],
+            grid=(nb_r, cap + 1),
+            in_specs=[send, recv, x_spec],
             out_specs=pl.BlockSpec((BLOCK, g), lambda j, k, *_: (j, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=_recv_scratch())
+            scratch_shapes=_recv_scratch()
+            + [pltpu.VMEM((2, BLOCK, BLOCK), jnp.float32)])
         out = pl.pallas_call(
             _spmm_kernel_compact,
             grid_spec=grid_spec,
