@@ -172,19 +172,25 @@ def main():
                    rate_ReachGoal=m["rate_ReachGoal"],
                    mean_deltaFT=m["mean_deltaFT"])
         rows.append(row)
-        rows.sort(key=lambda r: (-r["rate_ReachGoal"], r["mean_deltaFT"]))
+        if not args.gen_pools:
+            # gen-pool ranking must survive: re-sorting by primary rate
+            # here scrambled the recorded ranking below the winner
+            rows.sort(key=lambda r: (-r["rate_ReachGoal"],
+                                     r["mean_deltaFT"]))
         print(f"{row['name']:48s} rate_ReachGoal="
               f"{m['rate_ReachGoal']:.4f} dFT={m['mean_deltaFT']:.4f}",
               flush=True)
+    winner_row = next(r for r in rows if r["name"] == winner)
     out = ckpt_dir / "model_selected.msgpack"
     out.write_bytes(serialization.to_bytes(state))
     out.with_suffix(".meta.json").write_text(json.dumps(
         {"selected_from": winner, "pool": args.pool,
          "pool_cases": pool.num_cases,
-         "rate_ReachGoal": rows[0]["rate_ReachGoal"]}))
+         "rate_ReachGoal": winner_row["rate_ReachGoal"]}))
     (ckpt_dir / "selection.json").write_text(json.dumps(
-        dict(pool=args.pool, cases=pool.num_cases, ranking=rows), indent=1))
-    print(json.dumps(dict(winner=winner, **rows[0])))
+        dict(pool=args.pool, cases=pool.num_cases, winner=winner,
+             ranking=rows), indent=1))
+    print(json.dumps(dict(winner=winner, **winner_row)))
 
 
 if __name__ == "__main__":
