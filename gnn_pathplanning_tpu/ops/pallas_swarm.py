@@ -350,31 +350,27 @@ def _degree_kernel_compact(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref,
 
 
 def _spmm_kernel_compact(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref, x_ref,
-                         out_ref, rx_ref, ry_ref, rv_ref, wbuf_ref):
-    """Software-pipelined compact SpMM: the inner grid runs cap + 1 steps;
-    step k BUILDS pair (j, k)'s weights into ``wbuf[k % 2]`` (VPU) while
-    the MXU consumes ``wbuf[(k-1) % 2]`` against pair (j, k-1)'s x block —
-    the two halves of one step are data-independent, so Mosaic can overlap
-    VPU and MXU instead of serializing build -> matmul (the serial sum was
-    the r3 389 ns/step; the overlapped bound is max(build, matmul+dma))."""
+                         out_ref, rx_ref, ry_ref, rv_ref):
+    """Receiver-hoisted compact SpMM. An explicitly software-pipelined
+    variant (double-buffered w, matmul one step behind the build) was
+    measured SLOWER on-chip (203 vs 150 ns/step at N=16k,
+    kernel_anatomy_r4): Mosaic already overlaps the VPU build with the MXU
+    matmul inside this plain body (weights 136 + matmul 124 + dma 39 ns in
+    isolation sum to ~300, the full step runs at 150), so the extra grid
+    step and scratch traffic only added overhead. The pipelined variant
+    stays in benchmarks/kernel_anatomy.py as the record."""
     j, k = pl.program_id(0), pl.program_id(1)
-    cap = pl.num_programs(1) - 1
 
     @pl.when(k == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
         _hoist_recv_planes(pj_ref, rx_ref, ry_ref, rv_ref)
 
-    @pl.when((k < cap) & (k < cnt_ref[j]))
+    @pl.when(k < cnt_ref[j])
     def _():
         w = _pair_weights_rs(rx_ref[:], ry_ref[:], rv_ref[:],
                              *_unpack(pi_ref), r2_ref[0])
-        wbuf_ref[k % 2] = w
-
-    @pl.when((k >= 1) & (k - 1 < cnt_ref[j]))
-    def _():
-        out_ref[:] += jnp.dot(wbuf_ref[(k - 1) % 2].astype(x_ref.dtype),
-                              x_ref[:],
+        out_ref[:] += jnp.dot(w.astype(x_ref.dtype), x_ref[:],
                               preferred_element_type=jnp.float32)
 
 
@@ -475,30 +471,17 @@ def geometric_spmm_compact(pos: jax.Array, x: jax.Array, radius,
     pr = ps if recv_pos is None else _planes(recv_pos, recv_valid)
     if s_step == 1:
         cap = idx.shape[1]
-        # pipelined grid: senders run one step ahead of the matmul (see
-        # _spmm_kernel_compact); x blocks arrive one slot late, clamped
-        # index maps keep every access in range on the boundary steps
-        send = pl.BlockSpec(
-            (3 * _SUB, BLOCK),
-            lambda j, k, idx_ref, cnt, r2: (
-                idx_ref[j, jnp.minimum(k, cap - 1)], 0),
-            memory_space=pltpu.VMEM)
-        recv = pl.BlockSpec((3 * _SUB, BLOCK),
-                            lambda j, k, *_: (j, 0),
-                            memory_space=pltpu.VMEM)
-        x_spec = pl.BlockSpec(
-            (BLOCK, g),
-            lambda j, k, idx_ref, cnt, r2: (
-                idx_ref[j, jnp.clip(k - 1, 0, cap - 1)], 0),
-            memory_space=pltpu.VMEM)
+        send, recv = _compact_plane_specs()
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
-            grid=(nb_r, cap + 1),
-            in_specs=[send, recv, x_spec],
+            grid=(nb_r, cap),
+            in_specs=[send, recv,
+                      pl.BlockSpec((BLOCK, g),
+                                   lambda j, k, idx_ref, cnt, r2: (idx_ref[j, k], 0),
+                                   memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((BLOCK, g), lambda j, k, *_: (j, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=_recv_scratch()
-            + [pltpu.VMEM((2, BLOCK, BLOCK), jnp.float32)])
+            scratch_shapes=_recv_scratch())
         out = pl.pallas_call(
             _spmm_kernel_compact,
             grid_spec=grid_spec,
@@ -560,7 +543,8 @@ def _pad_idx_multi(idx: jax.Array, s_step: int) -> jax.Array:
 def make_geometric_ops(send_pos: jax.Array, send_valid: jax.Array, radius,
                        recv_pos: jax.Array | None = None,
                        recv_valid: jax.Array | None = None,
-                       cap: int | None = None, interpret: bool = False):
+                       cap: int | None = None, interpret: bool = False,
+                       senders_per_step: int = 2):
     """Build ``(degrees_fn, spmm_fn)`` over the radius graph between a
     padded sender set and an (optionally rectangular) padded receiver set.
 
@@ -569,6 +553,11 @@ def make_geometric_ops(send_pos: jax.Array, send_valid: jax.Array, radius,
     to the exhaustive grid if any receiver block exceeds ``cap`` active
     senders, so results are exact either way. Shared by the single-chip
     filter and the sharded rollout/halo filter bodies.
+
+    ``senders_per_step=2`` default: the two-senders-per-grid-step compact
+    kernel amortizes per-step fixed costs and measured ~1.3x over s=1 at
+    every N on the v5e roofline sweep (52.8 -> 68.6% of HBM roofline at
+    N=16k, roofline_r4).
     """
     mask = block_pair_mask(send_pos, radius, send_valid,
                            recv_pos, recv_valid)
@@ -600,9 +589,9 @@ def make_geometric_ops(send_pos: jax.Array, send_valid: jax.Array, radius,
             overflow,
             lambda a: geometric_spmm(a[0], a[1], radius, a[2], mask,
                                      interpret, recv_pos, recv_valid),
-            lambda a: geometric_spmm_compact(a[0], a[1], radius, a[2], idx,
-                                             count, interpret,
-                                             recv_pos, recv_valid),
+            lambda a: geometric_spmm_compact(
+                a[0], a[1], radius, a[2], idx, count, interpret,
+                recv_pos, recv_valid, senders_per_step=senders_per_step),
             (send_pos, z, send_valid))
 
     return degrees_fn, spmm_fn
