@@ -544,7 +544,7 @@ def make_geometric_ops(send_pos: jax.Array, send_valid: jax.Array, radius,
                        recv_pos: jax.Array | None = None,
                        recv_valid: jax.Array | None = None,
                        cap: int | None = None, interpret: bool = False,
-                       senders_per_step: int = 2):
+                       senders_per_step: int = 1):
     """Build ``(degrees_fn, spmm_fn)`` over the radius graph between a
     padded sender set and an (optionally rectangular) padded receiver set.
 
@@ -554,10 +554,11 @@ def make_geometric_ops(send_pos: jax.Array, send_valid: jax.Array, radius,
     senders, so results are exact either way. Shared by the single-chip
     filter and the sharded rollout/halo filter bodies.
 
-    ``senders_per_step=2`` default: the two-senders-per-grid-step compact
-    kernel amortizes per-step fixed costs and measured ~1.3x over s=1 at
-    every N on the v5e roofline sweep (52.8 -> 68.6% of HBM roofline at
-    N=16k, roofline_r4).
+    ``senders_per_step`` stays 1 by default: multi-sender batching paid
+    only against the (since-reverted) pipelined s1 kernel; against the
+    plain receiver-hoisted kernel the roofline sweep measures s2/s4 at
+    0.91-1.01x of s1 (roofline_r4), so batching no longer carries its
+    extra spec complexity at any measured N.
     """
     mask = block_pair_mask(send_pos, radius, send_valid,
                            recv_pos, recv_valid)
