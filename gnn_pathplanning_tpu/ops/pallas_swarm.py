@@ -130,6 +130,34 @@ def _pair_weights_rs(rx, ry, rv, xs, ys, vs, r2):
     return w * rv * vs[None, :]
 
 
+def _split_dot(w, x, out_ref):
+    """Accumulate ``w @ x`` into ``out_ref`` at near-f32 accuracy without
+    paying the 6-pass HIGHEST matmul.
+
+    On-chip A/B at N=16k (slope-timed): the Mosaic DEFAULT-precision f32
+    dot truncates the inputs to bf16 (max_abs ~3e-2 vs the f32 oracle,
+    0.8%% relative — would break the 5e-4 kernel-parity gates), while
+    HIGHEST is exact but runs the step at 257 ns vs 137 (MXU passes stop
+    hiding behind the VPU weight build). The weights are EXACT in bf16
+    (0/1), so only ``x`` needs care: split x = hi + lo (both bf16) and
+    accumulate two single-pass bf16 matmuls — no w error terms exist, the
+    residual is bounded by bf16(lo) truncation (~2^-16 relative; measured
+    max_abs 4.5e-5), and the two MXU passes stay largely hidden behind the
+    VPU build: 176 ns/step, 2.2x over the round-3 kernel.
+
+    When ``x`` is already bf16 the split degenerates (lo == 0): one pass.
+    """
+    if x.dtype == jnp.bfloat16:
+        out_ref[:] += jnp.dot(w.astype(jnp.bfloat16), x,
+                              preferred_element_type=jnp.float32)
+        return
+    wb = w.astype(jnp.bfloat16)
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out_ref[:] += (jnp.dot(wb, hi, preferred_element_type=jnp.float32)
+                   + jnp.dot(wb, lo, preferred_element_type=jnp.float32))
+
+
 def _hoist_recv_planes(p_ref, rx_ref, ry_ref, rv_ref):
     """Pay the receiver lane->sublane relayouts ONCE per receiver block:
     the column-broadcast coordinate planes live in VMEM scratch across the
@@ -189,8 +217,7 @@ def _spmm_kernel(mask_ref, r2_ref, pi_ref, pj_ref, x_ref, out_ref,
     def _():
         w = _pair_weights_rs(rx_ref[:], ry_ref[:], rv_ref[:],
                              *_unpack(pi_ref), r2_ref[0])
-        out_ref[:] += jnp.dot(w.astype(x_ref.dtype), x_ref[:],
-                              preferred_element_type=jnp.float32)
+        _split_dot(w, x_ref[:], out_ref)
 
 
 def _join_vma(*arrays) -> frozenset:
@@ -370,8 +397,7 @@ def _spmm_kernel_compact(idx_ref, cnt_ref, r2_ref, pi_ref, pj_ref, x_ref,
     def _():
         w = _pair_weights_rs(rx_ref[:], ry_ref[:], rv_ref[:],
                              *_unpack(pi_ref), r2_ref[0])
-        out_ref[:] += jnp.dot(w.astype(x_ref.dtype), x_ref[:],
-                              preferred_element_type=jnp.float32)
+        _split_dot(w, x_ref[:], out_ref)
 
 
 def _make_spmm_kernel_compact_multi(s_per_step: int):
@@ -397,8 +423,7 @@ def _make_spmm_kernel_compact_multi(s_per_step: int):
             def _(s=s):
                 w = _pair_weights_rs(rx_ref[:], ry_ref[:], rv_ref[:],
                                      *_unpack(senders[s]), r2_ref[0])
-                out_ref[:] += jnp.dot(w.astype(xs[s].dtype), xs[s][:],
-                                      preferred_element_type=jnp.float32)
+                _split_dot(w, xs[s][:], out_ref)
 
     return kernel
 
