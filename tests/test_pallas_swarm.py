@@ -197,3 +197,35 @@ def test_pad_idx_multi():
     np.testing.assert_array_equal(out, [[0, 1, 2, 2], [3, 4, 5, 5]])
     np.testing.assert_array_equal(np.asarray(ps._pad_idx_multi(idx, 3)),
                                   np.asarray(idx))
+
+
+def test_split_precision_dot_tracks_f32(rng):
+    """The split-precision hop matmul (x = hi + lo bf16; w exact 0/1) must
+    track the f32 oracle to ~1e-4 even for features whose plain-bf16
+    truncation error is orders of magnitude larger — the on-chip failure
+    mode that motivated it (Mosaic DEFAULT f32 dot truncates inputs to
+    bf16: max_abs 3e-2 measured at N=16k; kernel_anatomy_r4 notes)."""
+    n, g, r = 300, 32, 8.0
+    pos = _swarm(rng, n, world=90)
+    order = np.asarray(ps.spatial_sort(jnp.asarray(pos), cell=r))
+    pos = pos[order]
+    # large dynamic range: plain bf16 rounding error ~0.8% of magnitude
+    x = (rng.randn(n, g) * np.logspace(0, 3, g)[None, :]).astype(np.float32)
+    pos_p, x_p, valid = ps.pad_agents(jnp.asarray(pos), jnp.asarray(x))
+    mask = ps.block_pair_mask(pos_p, r, valid)
+    cap = int(np.asarray(mask).sum(axis=0).max())
+    idx, count, overflow = ps.compact_sender_index(mask, cap)
+    assert not bool(overflow)
+
+    d2 = ((pos[:, None] - pos[None]) ** 2).sum(-1)
+    w = ((d2 < r * r) & (d2 > 0)).astype(np.float32)
+    want = w.T @ x
+    got = np.asarray(ps.geometric_spmm_compact(
+        pos_p, x_p, r, valid, idx, count, interpret=True))[:n]
+    colmax = np.abs(want).max(axis=0) + 1e-9
+    split_rel = (np.abs(got - want) / colmax[None, :]).max()
+    assert split_rel < 2e-5, split_rel        # measured 3.9e-6
+    # plain single-pass bf16 truncation is ~800x worse on the same data
+    bf = w.T @ np.asarray(x.astype(jnp.bfloat16).astype(np.float32))
+    bf_rel = (np.abs(bf - want) / colmax[None, :]).max()
+    assert bf_rel > 100 * split_rel
