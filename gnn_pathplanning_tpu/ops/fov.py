@@ -94,17 +94,8 @@ def _projected_goal(dx: jax.Array, dy: jax.Array) -> jax.Array:
     return _one_hot_cell(gx, gy)
 
 
-def _render_one(map_pad: jax.Array, occ_pad: jax.Array, pos: jax.Array,
-                goal: jax.Array) -> jax.Array:
-    """Render one agent's [3, 11, 11] observation.
-
-    ``map_pad`` / ``occ_pad`` are the global grids already padded by
-    FOV_WIDTH; ``pos``/``goal`` are int32 [2] global coordinates.
-    """
-    x, y = pos[0], pos[1]
-    crop_map = jax.lax.dynamic_slice(map_pad, (x, y), (FOV, FOV))
-    crop_occ = jax.lax.dynamic_slice(occ_pad, (x, y), (FOV, FOV))
-
+def _goal_channel(pos: jax.Array, goal: jax.Array) -> jax.Array:
+    """[11, 11] goal channel for one agent (in-FOV one-hot or projected)."""
     dx = goal[0] - pos[0]
     dy = goal[1] - pos[1]
     in_fov = jnp.logical_and(jnp.abs(dx) <= FOV_WIDTH, jnp.abs(dy) <= FOV_WIDTH)
@@ -115,9 +106,7 @@ def _render_one(map_pad: jax.Array, occ_pad: jax.Array, pos: jax.Array,
     gj = jnp.clip(dy + _CENTER, 0, WINDOW - 1)
     goal_in = _one_hot_cell(gi, gj)
     goal_out = _projected_goal(dx, dy)
-    channel_goal = jnp.where(in_fov, goal_in, goal_out)
-
-    return jnp.stack([_embed(crop_map), channel_goal, _embed(crop_occ)])
+    return jnp.where(in_fov, goal_in, goal_out)
 
 
 def render_fov(grid: jax.Array, pos: jax.Array, goal: jax.Array,
@@ -135,6 +124,22 @@ def render_fov(grid: jax.Array, pos: jax.Array, goal: jax.Array,
     Returns:
       ``[N, 3, 11, 11]`` float32 observations, channels
       [map, goal, agent positions].
+
+    TPU note (round 4): the original implementation scattered the
+    occupancy grid (``zeros.at[pos].set``) and cropped with vmapped
+    ``dynamic_slice`` — both lower to scatter/gather, and a step-cost
+    decomposition of the driver rollout showed them costing 12.6 ms/step
+    at [256 cases x 10 agents], 96% of the whole closed-loop step (network
+    0.43 ms, shield 0.06 ms). Both are EXACTLY replaceable by one-hot
+    contractions on 0/1 values (products and row-sums of 0/1 are exact in
+    f32, and every window row holds at most one hot cell):
+
+    - map crop:  ``crop[n] = rows_onehot[n] @ map_pad @ cols_onehot[n].T``
+      — two tiny einsums instead of N gathers.
+    - occupancy: agent m lands in agent n's 9x9 window at offset
+      ``(pos_m - pos_n) + 4``; a pairwise one-hot outer product summed
+      over m builds every crop directly — the global occupancy grid (and
+      its scatter) never exists.
     """
     grid = grid.astype(jnp.float32)
     pos = pos.astype(jnp.int32)
@@ -142,8 +147,29 @@ def render_fov(grid: jax.Array, pos: jax.Array, goal: jax.Array,
     occ_src = pos if occupancy_pos is None else occupancy_pos.astype(jnp.int32)
 
     map_pad = jnp.pad(grid, FOV_WIDTH, constant_values=1.0)
-    occ = jnp.zeros_like(grid).at[occ_src[:, 0], occ_src[:, 1]].set(1.0)
-    occ_pad = jnp.pad(occ, FOV_WIDTH, constant_values=0.0)
+    wp, hp = map_pad.shape
 
-    return jax.vmap(_render_one, in_axes=(None, None, 0, 0))(
-        map_pad, occ_pad, pos, goal)
+    # --- map channel: one-hot row/col windows, crop via matmul (exact) ---
+    r9 = jnp.arange(FOV, dtype=jnp.int32)
+    rows = (pos[:, 0:1, None] + r9[None, :, None]
+            == jnp.arange(wp, dtype=jnp.int32)[None, None, :])   # [N, 9, Wp]
+    cols = (pos[:, 1:2, None] + r9[None, :, None]
+            == jnp.arange(hp, dtype=jnp.int32)[None, None, :])   # [N, 9, Hp]
+    crop_map = jnp.einsum("nrw,wh,nch->nrc", rows.astype(jnp.float32),
+                          map_pad, cols.astype(jnp.float32))
+
+    # --- occupancy channel: pairwise window offsets, no global grid ---
+    rel = occ_src[None, :, :] - pos[:, None, :] + FOV_WIDTH      # [N, M, 2]
+    rx = (rel[:, :, 0:1] == r9[None, None, :])                   # [N, M, 9]
+    ry = (rel[:, :, 1:2] == r9[None, None, :])                   # [N, M, 9]
+    crop_occ = jnp.einsum("nmr,nmc->nrc", rx.astype(jnp.float32),
+                          ry.astype(jnp.float32))
+    # co-located agents cannot occur (collision-free invariant), but the
+    # reference's set() writes 1.0 regardless — clamp to match exactly
+    crop_occ = jnp.minimum(crop_occ, 1.0)
+
+    goal_ch = jax.vmap(_goal_channel)(pos, goal)
+
+    pad11 = [(0, 0), (BORDER, BORDER), (BORDER, BORDER)]
+    return jnp.stack([jnp.pad(crop_map, pad11), goal_ch,
+                      jnp.pad(crop_occ, pad11)], axis=1)
