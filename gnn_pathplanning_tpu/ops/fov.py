@@ -109,8 +109,59 @@ def _goal_channel(pos: jax.Array, goal: jax.Array) -> jax.Array:
     return jnp.where(in_fov, goal_in, goal_out)
 
 
+# Above this many (window x occupant) pairs the pairwise occupancy path's
+# [N, M, 9] operands outgrow HBM (9.7 GB at N=M=32768) and render_fov
+# switches to the scatter-grid path. N=M=8192 (603M-element operands) is
+# measured FASTER pairwise (benchmarks/swarm_stress_r4b_n8192.json), so the
+# cut sits between 8192^2 and 16384^2.
+_PAIRWISE_MAX_PAIRS = 100_000_000
+# Agent-chunk size for the grid-path crop einsums: bounds the [chunk, 9, Wp]
+# one-hot operands (~0.5 GB bf16 at chunk=16384, world 1811) so N=65536
+# worlds compile; lax.map pipelines the chunks.
+_CROP_CHUNK = 16_384
+
+
+def _crop_windows_grid(map_pad: jax.Array, occ_pad: jax.Array,
+                       pos: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """9x9 map + occupancy crops for every agent via one-hot matmuls.
+
+    Each contraction is against a ONE-HOT row/col vector, so every output
+    element is a single selected grid value (never a sum) — bit-exact in
+    bf16 for the 0/1 grids here, with f32 accumulation requested anyway.
+    O(N * 9 * Wp * Hp) MXU work and no [N, M] pairwise operand, which is
+    what lets swarm-scale worlds (N >= 32768) compile; the global
+    occupancy grid is built by an O(M) scatter instead.
+    """
+    wp, hp = map_pad.shape
+    stacked = jnp.stack([map_pad, occ_pad]).astype(jnp.bfloat16)
+    r9 = jnp.arange(FOV, dtype=jnp.int32)
+    iw = jnp.arange(wp, dtype=jnp.int32)
+    ih = jnp.arange(hp, dtype=jnp.int32)
+
+    def one_chunk(p):
+        rows = (p[:, 0:1, None] + r9[None, :, None]
+                == iw[None, None, :]).astype(jnp.bfloat16)   # [c, 9, Wp]
+        cols = (p[:, 1:2, None] + r9[None, :, None]
+                == ih[None, None, :]).astype(jnp.bfloat16)   # [c, 9, Hp]
+        tmp = jnp.einsum("nrw,kwh->knrh", rows, stacked,
+                         preferred_element_type=jnp.float32)
+        return jnp.einsum("knrh,nch->knrc", tmp.astype(jnp.bfloat16), cols,
+                          preferred_element_type=jnp.float32)
+
+    n = pos.shape[0]
+    if n <= _CROP_CHUNK:
+        out = one_chunk(pos)                                 # [2, N, 9, 9]
+    else:
+        pad = (-n) % _CROP_CHUNK
+        p = jnp.pad(pos, ((0, pad), (0, 0)))
+        out = jax.lax.map(one_chunk, p.reshape(-1, _CROP_CHUNK, 2))
+        out = jnp.moveaxis(out, 1, 0).reshape(2, n + pad, FOV, FOV)[:, :n]
+    return out[0], out[1]
+
+
 def render_fov(grid: jax.Array, pos: jax.Array, goal: jax.Array,
-               occupancy_pos: jax.Array | None = None) -> jax.Array:
+               occupancy_pos: jax.Array | None = None,
+               occupancy_mode: str = "auto") -> jax.Array:
     """Render agents' observations for one world state.
 
     Args:
@@ -120,6 +171,11 @@ def render_fov(grid: jax.Array, pos: jax.Array, goal: jax.Array,
       occupancy_pos: positions marked on the other-agents channel; defaults
         to ``pos``. Under agent partitioning pass the all-gathered global
         positions here while rendering only the local shard's agents.
+      occupancy_mode: ``"auto"`` (default — pairwise below
+        ``_PAIRWISE_MAX_PAIRS`` window-occupant pairs, grid above),
+        ``"pairwise"``, or ``"grid"``. Both modes are bit-identical; the
+        grid mode exists because the pairwise [N, M, 9] operands outgrow
+        HBM at swarm scale (N = M >= 16384).
 
     Returns:
       ``[N, 3, 11, 11]`` float32 observations, channels
@@ -141,6 +197,9 @@ def render_fov(grid: jax.Array, pos: jax.Array, goal: jax.Array,
       over m builds every crop directly — the global occupancy grid (and
       its scatter) never exists.
     """
+    if occupancy_mode not in ("auto", "pairwise", "grid"):
+        raise ValueError(f"occupancy_mode must be auto|pairwise|grid, "
+                         f"got {occupancy_mode!r}")
     grid = grid.astype(jnp.float32)
     pos = pos.astype(jnp.int32)
     goal = goal.astype(jnp.int32)
@@ -148,25 +207,35 @@ def render_fov(grid: jax.Array, pos: jax.Array, goal: jax.Array,
 
     map_pad = jnp.pad(grid, FOV_WIDTH, constant_values=1.0)
     wp, hp = map_pad.shape
+    if occupancy_mode == "auto":
+        pairs = pos.shape[0] * occ_src.shape[0]
+        occupancy_mode = "pairwise" if pairs <= _PAIRWISE_MAX_PAIRS else "grid"
 
-    # --- map channel: one-hot row/col windows, crop via matmul (exact) ---
-    r9 = jnp.arange(FOV, dtype=jnp.int32)
-    rows = (pos[:, 0:1, None] + r9[None, :, None]
-            == jnp.arange(wp, dtype=jnp.int32)[None, None, :])   # [N, 9, Wp]
-    cols = (pos[:, 1:2, None] + r9[None, :, None]
-            == jnp.arange(hp, dtype=jnp.int32)[None, None, :])   # [N, 9, Hp]
-    crop_map = jnp.einsum("nrw,wh,nch->nrc", rows.astype(jnp.float32),
-                          map_pad, cols.astype(jnp.float32))
+    if occupancy_mode == "grid":
+        # Swarm scale: O(M) scatter into the padded global grid, then both
+        # channels crop via the chunked one-hot matmuls (bit-exact).
+        occ_pad = jnp.zeros((wp, hp), jnp.float32).at[
+            occ_src[:, 0] + FOV_WIDTH, occ_src[:, 1] + FOV_WIDTH].max(1.0)
+        crop_map, crop_occ = _crop_windows_grid(map_pad, occ_pad, pos)
+    else:
+        # --- map channel: one-hot row/col windows, crop via matmul ---
+        r9 = jnp.arange(FOV, dtype=jnp.int32)
+        rows = (pos[:, 0:1, None] + r9[None, :, None]
+                == jnp.arange(wp, dtype=jnp.int32)[None, None, :])  # [N,9,Wp]
+        cols = (pos[:, 1:2, None] + r9[None, :, None]
+                == jnp.arange(hp, dtype=jnp.int32)[None, None, :])  # [N,9,Hp]
+        crop_map = jnp.einsum("nrw,wh,nch->nrc", rows.astype(jnp.float32),
+                              map_pad, cols.astype(jnp.float32))
 
-    # --- occupancy channel: pairwise window offsets, no global grid ---
-    rel = occ_src[None, :, :] - pos[:, None, :] + FOV_WIDTH      # [N, M, 2]
-    rx = (rel[:, :, 0:1] == r9[None, None, :])                   # [N, M, 9]
-    ry = (rel[:, :, 1:2] == r9[None, None, :])                   # [N, M, 9]
-    crop_occ = jnp.einsum("nmr,nmc->nrc", rx.astype(jnp.float32),
-                          ry.astype(jnp.float32))
-    # co-located agents cannot occur (collision-free invariant), but the
-    # reference's set() writes 1.0 regardless — clamp to match exactly
-    crop_occ = jnp.minimum(crop_occ, 1.0)
+        # --- occupancy channel: pairwise window offsets, no global grid ---
+        rel = occ_src[None, :, :] - pos[:, None, :] + FOV_WIDTH     # [N,M,2]
+        rx = (rel[:, :, 0:1] == r9[None, None, :])                  # [N,M,9]
+        ry = (rel[:, :, 1:2] == r9[None, None, :])                  # [N,M,9]
+        crop_occ = jnp.einsum("nmr,nmc->nrc", rx.astype(jnp.float32),
+                              ry.astype(jnp.float32))
+        # co-located agents cannot occur (collision-free invariant), but the
+        # reference's set() writes 1.0 regardless — clamp to match exactly
+        crop_occ = jnp.minimum(crop_occ, 1.0)
 
     goal_ch = jax.vmap(_goal_channel)(pos, goal)
 

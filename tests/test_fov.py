@@ -101,3 +101,45 @@ def test_self_visible_in_occupancy():
     assert out[0, 2, 5, 5] == 1      # self at center
     assert out[0, 2, 5, 7] == 1      # neighbor within FOV
     _run(grid, pos, goal)
+
+
+def test_grid_mode_matches_pairwise(rng):
+    """The swarm-scale grid-scatter occupancy path (auto-selected above
+    _PAIRWISE_MAX_PAIRS window-occupant pairs, where the pairwise [N, M, 9]
+    operands outgrow HBM) must be bit-identical to the pairwise path —
+    every crop contraction is against a one-hot, so bf16 selects single
+    0/1 values exactly. Also exercises halo-style occupancy_pos (occupants
+    a superset of the rendered agents)."""
+    w = h = 48
+    grid = (rng.rand(w, h) < 0.12).astype(np.float32)
+    free = np.argwhere(grid == 0)
+    m, n = 120, 40
+    idx = rng.choice(len(free), size=m + n, replace=False)
+    occ_pos = free[idx[:m]]
+    pos = occ_pos[:n]                      # rendered agents are a subset
+    goal = free[idx[m:]]
+    args = (jnp.array(grid, jnp.float32), jnp.array(pos, jnp.int32),
+            jnp.array(goal, jnp.int32))
+    pairwise = np.asarray(render_fov(*args, occupancy_pos=occ_pos,
+                                     occupancy_mode="pairwise"))
+    gridmode = np.asarray(render_fov(*args, occupancy_pos=occ_pos,
+                                     occupancy_mode="grid"))
+    np.testing.assert_array_equal(gridmode, pairwise)
+
+
+def test_grid_mode_chunked_crop(rng, monkeypatch):
+    """Chunked lax.map crop (N > _CROP_CHUNK, with a non-dividing
+    remainder) equals the unchunked grid path."""
+    from gnn_pathplanning_tpu.ops import fov as fov_mod
+    w = h = 30
+    grid = (rng.rand(w, h) < 0.1).astype(np.float32)
+    free = np.argwhere(grid == 0)
+    n = 50
+    idx = rng.choice(len(free), size=2 * n, replace=False)
+    pos, goal = free[idx[:n]], free[idx[n:]]
+    args = (jnp.array(grid, jnp.float32), jnp.array(pos, jnp.int32),
+            jnp.array(goal, jnp.int32))
+    whole = np.asarray(render_fov(*args, occupancy_mode="grid"))
+    monkeypatch.setattr(fov_mod, "_CROP_CHUNK", 16)  # 50 = 3*16 + 2
+    chunked = np.asarray(render_fov(*args, occupancy_mode="grid"))
+    np.testing.assert_array_equal(chunked, whole)
