@@ -98,14 +98,18 @@ def main() -> int:
                                      args.radius, steps, k, **kw)
         f = jax.jit(rollout)
         out = f(starts_j, goals_j, key)
-        jax.block_until_ready(out.paths)     # compile + warm
+        jax.block_until_ready(out)           # compile + warm
         ts = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
             out = f(starts_j, goals_j, key)
-            jax.block_until_ready(out.paths)
+            # Block on the WHOLE output tree and report the median:
+            # blocking on .paths alone returned in 41 us on one N=32768
+            # capture (an async-dispatch artifact of the tunneled
+            # runtime), and min() then publishes exactly that artifact.
+            jax.block_until_ready(out)
             ts.append(time.perf_counter() - t0)
-        dt = min(ts)
+        dt = sorted(ts)[len(ts) // 2]
         # Shield fixed-point stats: the early-exit while_loop converges in
         # a handful of rounds in practice (vs the reference's fixed N+1
         # O(N^2) rounds — the old asymptotic ceiling of the swarm story).

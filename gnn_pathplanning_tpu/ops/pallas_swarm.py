@@ -116,6 +116,29 @@ def block_pair_mask(pos: jax.Array, radius, valid: jax.Array,
     return ok.astype(jnp.int32)
 
 
+def _pack_mask(mask: jax.Array) -> jax.Array:
+    """Bit-pack the [NB_send, NB_recv] 0/1 block-pair mask along the
+    receiver axis into [NB_send, ceil(NB_recv/32)] int32.
+
+    The mask rides scalar-prefetch SMEM (1 MB total on v5e): unpacked it
+    is NB^2 * 4 bytes — exactly 1 MB at NB=512 (N=65536 agents), which
+    overflowed SMEM by the 148 B the runtime needs for its own scalars
+    and made every N=65536 compile fail. Packed it is NB^2 / 8 bytes
+    (32 KB at NB=512; headroom to N~1M). Bit 31 makes the word negative;
+    the kernels' ``(word >> j) & 1`` test is exact anyway (arithmetic
+    shift right only pollutes bits above bit 0)."""
+    nb_s, nb_r = mask.shape
+    pad = (-nb_r) % 32
+    m = jnp.pad(mask, ((0, 0), (0, pad))).reshape(nb_s, -1, 32)
+    shifts = jnp.arange(32, dtype=jnp.int32)
+    return jnp.sum(m.astype(jnp.int32) << shifts[None, None, :], axis=-1)
+
+
+def _mask_bit(mask_ref, i, j):
+    """Scalar 0/1: was mask[i, j] set, reading the packed bitfield."""
+    return (mask_ref[i, j // 32] >> (j % 32)) & 1
+
+
 def _pair_weights_rs(rx, ry, rv, xs, ys, vs, r2):
     """[recv, send]-oriented 0/1 adjacency; strict < threshold,
     self/duplicate cells removed. Receiver planes ``rx/ry/rv`` arrive
@@ -197,7 +220,7 @@ def _degree_kernel(mask_ref, r2_ref, pi_ref, pj_ref, out_ref,
         out_ref[:] = jnp.zeros_like(out_ref)
         _hoist_recv_planes(pj_ref, rx_ref, ry_ref, rv_ref)
 
-    @pl.when(mask_ref[i, j] == 1)
+    @pl.when(_mask_bit(mask_ref, i, j) == 1)
     def _():
         w = _pair_weights_rs(rx_ref[:], ry_ref[:], rv_ref[:],
                              *_unpack(pi_ref), r2_ref[0])
@@ -213,7 +236,7 @@ def _spmm_kernel(mask_ref, r2_ref, pi_ref, pj_ref, x_ref, out_ref,
         out_ref[:] = jnp.zeros_like(out_ref)
         _hoist_recv_planes(pj_ref, rx_ref, ry_ref, rv_ref)
 
-    @pl.when(mask_ref[i, j] == 1)
+    @pl.when(_mask_bit(mask_ref, i, j) == 1)
     def _():
         w = _pair_weights_rs(rx_ref[:], ry_ref[:], rv_ref[:],
                              *_unpack(pi_ref), r2_ref[0])
@@ -283,7 +306,7 @@ def geometric_degrees(pos: jax.Array, radius, valid: jax.Array,
                                        vma=_join_vma(mask, ps, pr)),
         scratch_shapes=_recv_scratch(),
         interpret=interpret,
-    )(mask, r2, ps, pr)
+    )(_pack_mask(mask), r2, ps, pr)
     return out.reshape(-1)
 
 
@@ -320,7 +343,7 @@ def geometric_spmm(pos: jax.Array, x: jax.Array, radius, valid: jax.Array,
                                        vma=_join_vma(mask, ps, pr, x)),
         scratch_shapes=_recv_scratch(),
         interpret=interpret,
-    )(mask, r2, ps, pr, x)
+    )(_pack_mask(mask), r2, ps, pr, x)
     return out
 
 
