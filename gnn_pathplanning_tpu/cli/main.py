@@ -41,6 +41,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="repeat the OE failure cache this many times in "
                         "the rebuilt training set (DAgger oversampling; "
                         "1 = reference-proportional merge)")
+    p.add_argument("--oe_gen_pools", type=str, default=None,
+                   help="comma-separated train dirs of OTHER regimes used "
+                        "as additional online-expert harvest pools (round-5 "
+                        "generalization recipe); per-regime failure caches "
+                        "are mixed into training as weighted components")
+    p.add_argument("--oe_gen_rollouts", type=str, default=None,
+                   help="comma-separated per-pool rollout sample sizes for "
+                        "--oe_gen_pools (default 256 each)")
+    p.add_argument("--oe_gen_commR", type=str, default=None,
+                   help="comma-separated per-pool comm radii for "
+                        "--oe_gen_pools (default 6 each; the 64-agent "
+                        "regime uses 11 per the reference protocol)")
+    p.add_argument("--oe_gen_weight", type=float, default=4.0,
+                   help="MixedDataset epoch-share weight of each gen-regime "
+                        "failure cache (default 4)")
+    p.add_argument("--oe_gen_timeout", type=float, default=60.0,
+                   help="per-case expert budget (s) for gen-pool harvests")
     p.add_argument("--data_augment", action="store_true", default=None,
                    help="D4 symmetry augmentation of training samples")
     p.add_argument("--deadlock_break", type=int, default=None,
@@ -114,7 +131,10 @@ def main(argv=None) -> int:
                               "ensemble_checkpoints", "cpu",
                               "mix_train_dirs", "mix_weights",
                               "num_maps", "cases_per_map", "solver",
-                              "workers", "log_time_trained")}
+                              "workers", "log_time_trained",
+                              "oe_gen_pools", "oe_gen_rollouts",
+                              "oe_gen_commR", "oe_gen_weight",
+                              "oe_gen_timeout")}
     cfg = load_config(args.config, overrides)
     np.random.seed(cfg.seed)
 
@@ -175,13 +195,33 @@ def main(argv=None) -> int:
             from ..train.trainer import tl_trainable
             trainable_filter = tl_trainable
         if cfg.online_expert:
-            from ..oe.online_expert import OnlineExpertConfig, OnlineExpertTrainer
+            from ..oe.online_expert import (GenPool, OnlineExpertConfig,
+                                            OnlineExpertTrainer)
+            gen_pools = []
+            if args.oe_gen_pools:
+                dirs = [d.strip() for d in args.oe_gen_pools.split(",")]
+                rollouts = ([int(r) for r in args.oe_gen_rollouts.split(",")]
+                            if args.oe_gen_rollouts else [256] * len(dirs))
+                radii = ([float(r) for r in args.oe_gen_commR.split(",")]
+                         if args.oe_gen_commR else [6.0] * len(dirs))
+                if len(rollouts) != len(dirs) or len(radii) != len(dirs):
+                    log.error("--oe_gen_rollouts/--oe_gen_commR must match "
+                              "--oe_gen_pools")
+                    return 1
+                gen_pools = [GenPool(train_dir=d, num_rollouts=r,
+                                     comm_radius=cr,
+                                     weight=args.oe_gen_weight,
+                                     timeout=args.oe_gen_timeout)
+                             for d, r, cr in zip(dirs, rollouts, radii)]
+                log.info("gen-regime OE harvest pools: %s",
+                         [(g.train_dir, g.num_rollouts) for g in gen_pools])
             trainer = OnlineExpertTrainer(
                 model, tcfg, cfg.exp_dir, train_set, valid_set,
                 trainable_filter=trainable_filter,
                 oe_cfg=OnlineExpertConfig(start_epoch=cfg.Start_onlineExpert,
                                           num_rollouts=cfg.num_test_trainingSet,
-                                          cache_repeat=cfg.oe_cache_weight),
+                                          cache_repeat=cfg.oe_cache_weight,
+                                          gen_pools=gen_pools),
                 train_dir=f"{cfg.dataset_root}/train")
         else:
             trainer = Trainer(model, tcfg, cfg.exp_dir, train_set, valid_set,

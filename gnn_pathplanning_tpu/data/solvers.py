@@ -32,6 +32,12 @@ class SolverResult:
     paths: list[np.ndarray] | None = None  # per agent [T_i, 2] int
     cost: int = 0
     makespan: int = 0
+    # Failure provenance (native exit codes): "ok", "infeasible" (proven —
+    # exit 1), "gave_up" (solver resource bound — exit 3), "timeout"
+    # (subprocess killed). The reference binaries can't distinguish these
+    # (bounded only by the caller's SIGALRM); keeping them apart stops
+    # harvest pipelines from silently biasing toward easy cases.
+    status: str = "ok"
 
     def schedule_array(self) -> np.ndarray:
         """Dense [T+1, N, 2] positions (agents park at goal)."""
@@ -110,45 +116,75 @@ def parse_solution_yaml(path: str | os.PathLike) -> SolverResult:
 def solve_case(grid: np.ndarray, starts: np.ndarray, goals: np.ndarray,
                algo: str = "ecbs", w: float = 1.1,
                timeout: float = 300.0,
-               adaptive_w: bool = False) -> SolverResult:
+               adaptive_w: bool = False,
+               max_expansions: int | None = None,
+               fallback: str | None = None) -> SolverResult:
     """Solve one MAPF instance with the native solver; SolverResult(ok=False)
     on timeout or planning failure (matching the reference's silent-skip
-    semantics, ECBS_onlineExpert.py:103-104).
+    semantics, ECBS_onlineExpert.py:103-104), with ``status`` recording
+    whether the failure was proven infeasible or a resource give-up.
 
     ``adaptive_w`` (ECBS only; OFF by default for strict reference parity):
-    on failure, retry with progressively looser suboptimality (w+0.1,
+    on give-up, retry with progressively looser suboptimality (w+0.1,
     w+0.2), splitting the time budget 50/25/25 — converts heavy-tail
     timeouts into slightly-suboptimal expert solutions instead of dropping
-    the case.
+    the case. A proven INFEASIBLE short-circuits (looser w can't help).
+
+    ``max_expansions`` caps the (E)CBS high-level expansions (None keeps
+    the binary default of 200000; 0 = unbounded, time-bounded only).
+    ``fallback`` names a second algorithm tried when the primary fails
+    non-infeasibly (e.g. "prioritized" — SIPP-based, orders of magnitude
+    faster on congested many-agent harvests, slightly suboptimal).
     """
     if adaptive_w and algo == "ecbs":
+        res = SolverResult(ok=False, status="gave_up")
         for frac, wi in ((0.5, w), (0.25, w + 0.1), (0.25, w + 0.2)):
             res = solve_case(grid, starts, goals, algo, wi,
-                             max(frac * timeout, 1.0), adaptive_w=False)
-            if res.ok:
+                             max(frac * timeout, 1.0), adaptive_w=False,
+                             max_expansions=max_expansions)
+            if res.ok or res.status == "infeasible":
                 return res
-        return SolverResult(ok=False)
+        if fallback:
+            return solve_case(grid, starts, goals, fallback,
+                              timeout=max(timeout * 0.25, 1.0))
+        return res
     assert algo in ALGOS, algo
     bin_dir = ensure_built()
     with tempfile.TemporaryDirectory() as td:
         inp = os.path.join(td, "in.yaml")
         out = os.path.join(td, "out.yaml")
         write_case_yaml(inp, grid, starts, goals)
-        cmd = [str(bin_dir / _BINARY_NAME[algo]), "-i", inp, "-o", out]
+        cmd = [str(bin_dir / _BINARY_NAME[algo]), "-i", inp, "-o", out,
+               "-t", str(timeout)]
         if algo == "ecbs":
             cmd += ["-w", str(w)]
+        if max_expansions is not None:
+            cmd += ["--max-expansions", str(max_expansions)]
         try:
-            proc = subprocess.run(cmd, capture_output=True, timeout=timeout)
+            # small grace over the binary's internal -t deadline so the
+            # graceful exit-3 path wins over the subprocess kill
+            proc = subprocess.run(cmd, capture_output=True,
+                                  timeout=timeout + 5.0)
         except subprocess.TimeoutExpired:
-            return SolverResult(ok=False)
-        if proc.returncode != 0 or not os.path.exists(out):
-            return SolverResult(ok=False)
-        return parse_solution_yaml(out)
+            res = SolverResult(ok=False, status="timeout")
+        else:
+            if proc.returncode == 0 and os.path.exists(out):
+                return parse_solution_yaml(out)
+            res = SolverResult(
+                ok=False,
+                status="gave_up" if proc.returncode == 3 else "infeasible")
+        if fallback and res.status != "infeasible":
+            fres = solve_case(grid, starts, goals, fallback,
+                              timeout=max(timeout * 0.25, 1.0))
+            if fres.ok:
+                return fres
+        return res
 
 
 def _solve_one(args):
-    grid, starts, goals, algo, w, timeout, adaptive_w = args
-    return solve_case(grid, starts, goals, algo, w, timeout, adaptive_w)
+    grid, starts, goals, algo, w, timeout, adaptive_w, max_exp, fb = args
+    return solve_case(grid, starts, goals, algo, w, timeout, adaptive_w,
+                      max_expansions=max_exp, fallback=fb)
 
 
 class ExpertSolver:
@@ -161,18 +197,23 @@ class ExpertSolver:
 
     def __init__(self, algo: str = "ecbs", w: float = 1.1,
                  timeout: float = 300.0, workers: int = 4,
-                 adaptive_w: bool = False):
+                 adaptive_w: bool = False,
+                 max_expansions: int | None = None,
+                 fallback: str | None = None):
         self.algo = algo
         self.w = w
         self.timeout = timeout
         self.workers = workers
         self.adaptive_w = adaptive_w
+        self.max_expansions = max_expansions
+        self.fallback = fallback
         ensure_built()
 
     def solve_batch(self, grids: Sequence[np.ndarray],
                     starts: Sequence[np.ndarray],
                     goals: Sequence[np.ndarray]) -> list[SolverResult]:
-        jobs = [(g, s, gl, self.algo, self.w, self.timeout, self.adaptive_w)
+        jobs = [(g, s, gl, self.algo, self.w, self.timeout, self.adaptive_w,
+                 self.max_expansions, self.fallback)
                 for g, s, gl in zip(grids, starts, goals)]
         if self.workers <= 1:
             return [_solve_one(j) for j in jobs]

@@ -1,4 +1,5 @@
-from .online_expert import OnlineExpert, OnlineExpertConfig, OnlineExpertTrainer, harvest_failures
+from .online_expert import (GenPool, OnlineExpert, OnlineExpertConfig,
+                            OnlineExpertTrainer, harvest_failures)
 
-__all__ = ["OnlineExpert", "OnlineExpertConfig", "OnlineExpertTrainer",
-           "harvest_failures"]
+__all__ = ["GenPool", "OnlineExpert", "OnlineExpertConfig",
+           "OnlineExpertTrainer", "harvest_failures"]

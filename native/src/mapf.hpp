@@ -14,6 +14,7 @@
 #pragma once
 
 #include <algorithm>
+#include <chrono>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -29,6 +30,31 @@
 #include <vector>
 
 namespace mapf {
+
+// Outcome of a solve. The reference binaries are bounded only by the
+// caller's SIGALRM; our resource caps (expansion budget / wall deadline)
+// must stay distinguishable from a proven "no solution" so harvest
+// pipelines don't silently bias toward easy cases (the r4 verdict's
+// "gave up vs infeasible" item).
+enum class Status { OK, INFEASIBLE, GAVE_UP };
+
+struct Deadline {
+  std::chrono::steady_clock::time_point end;
+  bool enabled = false;
+  static Deadline after(double seconds) {
+    Deadline d;
+    if (seconds > 0) {
+      d.enabled = true;
+      d.end = std::chrono::steady_clock::now() +
+              std::chrono::duration_cast<std::chrono::steady_clock::duration>(
+                  std::chrono::duration<double>(seconds));
+    }
+    return d;
+  }
+  bool expired() const {
+    return enabled && std::chrono::steady_clock::now() >= end;
+  }
+};
 
 struct Problem {
   int w = 0, h = 0;
@@ -361,9 +387,17 @@ struct HighLevelNode {
   int id = 0;
 };
 
-// Solves with ECBS(w); w = 1.0 is CBS. Returns empty on failure.
+// Solves with ECBS(w); w = 1.0 is CBS. Returns empty on failure; `status`
+// (optional) distinguishes a proven INFEASIBLE (open list exhausted) from
+// GAVE_UP (expansion budget or wall deadline hit). max_expansions <= 0
+// means unbounded (deadline-only, like the reference binaries under the
+// caller's SIGALRM).
 inline std::vector<Path> solve_cbs(const Problem& prob, double w,
-                                   long max_expansions = 200000) {
+                                   long max_expansions = 200000,
+                                   Status* status = nullptr,
+                                   Deadline deadline = {}) {
+  auto set_status = [&](Status s) { if (status) *status = s; };
+  set_status(Status::INFEASIBLE);
   size_t n = prob.starts.size();
   HighLevelNode root;
   root.constraints.resize(n);
@@ -391,7 +425,15 @@ inline std::vector<Path> solve_cbs(const Problem& prob, double w,
 
   long expansions = 0;
 
-  while (!open.empty() && expansions < max_expansions) {
+  while (!open.empty()) {
+    if (max_expansions > 0 && expansions >= max_expansions) {
+      set_status(Status::GAVE_UP);
+      return {};
+    }
+    if ((expansions & 0x3f) == 0 && deadline.expired()) {
+      set_status(Status::GAVE_UP);
+      return {};
+    }
     long lb_min = std::get<0>(*open.begin());
     double bound = w * (double)lb_min;
     while (!pending.empty() && (double)pending.begin()->first <= bound) {
@@ -422,6 +464,7 @@ inline std::vector<Path> solve_cbs(const Problem& prob, double w,
 
     Conflict conf;
     if (count_conflicts(nodes[cur].paths, &conf) == 0) {
+      set_status(Status::OK);
       return nodes[cur].paths;
     }
     for (int side = 0; side < 2; ++side) {
@@ -460,51 +503,205 @@ inline std::vector<Path> solve_cbs(const Problem& prob, double w,
   return {};
 }
 
+// ------------------------------------------------- true SIPP low level
+// Safe Interval Path Planning (Phillips & Likhachev, ICRA 2011) — the
+// algorithm inside the reference's `sipp` / `mapf_prioritized_sipp`
+// binaries (offlineExpert/CasesSolver.py:533-539). Dynamic obstacles (the
+// committed paths of higher-priority agents, parking forever at their final
+// cells) compress into per-cell SAFE INTERVALS; the search space is
+// (cell, interval) instead of (cell, timestep), so long waits cost one
+// expansion instead of one per tick — which is what keeps hard 40x40
+// many-agent instances tractable.
+constexpr int kInfTime = 1 << 28;
+
+class Sipp {
+ public:
+  Sipp(const Problem& prob, const std::vector<Path>& committed) : prob_(prob) {
+    const int cells = prob.w * prob.h;
+    std::vector<std::vector<std::pair<int, int>>> occ(cells);
+    for (const auto& p : committed) {
+      for (int t = 0; t < (int)p.size(); ++t) {
+        occ[cell(p[t])].push_back({t, t});
+        if (t > 0 && p[t] != p[t - 1]) {
+          // committed move p[t-1] -> p[t] during [t-1, t]: forbid the swap
+          // move p[t] -> p[t-1] at the same transition
+          forbidden_.insert(Constraints::ekey(t - 1, p[t].first, p[t].second,
+                                              p[t - 1].first, p[t - 1].second));
+        }
+      }
+      if (!p.empty())  // parks forever at its final cell
+        occ[cell(p.back())].push_back({(int)p.size() - 1, kInfTime});
+    }
+    intervals_.resize(cells);
+    for (int c = 0; c < cells; ++c) {
+      auto& o = occ[c];
+      std::sort(o.begin(), o.end());
+      int t = 0;
+      for (auto [lo, hi] : o) {
+        if (lo > t) intervals_[c].push_back({t, lo - 1});
+        t = std::max(t, hi >= kInfTime ? kInfTime : hi + 1);
+        if (t >= kInfTime) break;
+      }
+      if (t < kInfTime) intervals_[c].push_back({t, kInfTime});
+    }
+  }
+
+  // Timed path for `agent` (index = timestep, waits materialized), or empty.
+  // The goal interval must extend to infinity (the agent parks there).
+  Path plan(int agent, Status* status = nullptr,
+            const Deadline& deadline = {}) const {
+    auto set_status = [&](Status s) { if (status) *status = s; };
+    set_status(Status::INFEASIBLE);
+    const auto start = prob_.starts[agent];
+    const auto goal = prob_.goals[agent];
+    const int sc = cell(start), gc = cell(goal);
+    int s_ivl = interval_at(sc, 0);
+    if (s_ivl < 0) return {};
+
+    struct Node {
+      int c, ivl, t, h, parent;
+      bool closed = false;
+    };
+    std::vector<Node> nodes;
+    // best arrival time per (cell, interval) state
+    std::unordered_map<uint64_t, int> best;
+    auto skey = [](int c, int ivl) {
+      return ((uint64_t)c << 16) | (uint32_t)ivl;
+    };
+    // (f, t, id) min-heap; unit costs so g == arrival time t
+    using QE = std::tuple<int, int, int>;
+    std::priority_queue<QE, std::vector<QE>, std::greater<QE>> open;
+    nodes.push_back({sc, s_ivl, 0, manhattan(start, goal), -1});
+    best[skey(sc, s_ivl)] = 0;
+    open.push({nodes[0].h, 0, 0});
+
+    long expansions = 0;
+    while (!open.empty()) {
+      if (((++expansions) & 0xff) == 0 && deadline.expired()) {
+        set_status(Status::GAVE_UP);
+        return {};
+      }
+      auto [f, t, id] = open.top();
+      open.pop();
+      (void)f; (void)t;
+      if (nodes[id].closed ||
+          best.at(skey(nodes[id].c, nodes[id].ivl)) != id)
+        continue;  // closed or superseded by a better arrival
+      nodes[id].closed = true;
+      const Node n = nodes[id];
+      if (n.c == gc && intervals_[gc][n.ivl].second >= kInfTime) {
+        set_status(Status::OK);
+        return reconstruct(nodes, id);
+      }
+      const int hi = intervals_[n.c][n.ivl].second;
+      const int cx = n.c / prob_.h, cy = n.c % prob_.h;
+      for (int a = 0; a < 4; ++a) {
+        const int nx = cx + DX[a], ny = cy + DY[a];
+        if (!prob_.inside(nx, ny) || prob_.blocked(nx, ny)) continue;
+        const int nc = nx * prob_.h + ny;
+        // departure in [n.t, hi] => arrival in [n.t + 1, hi + 1]
+        const int a_lo = n.t + 1;
+        const int a_hi = hi >= kInfTime ? kInfTime : hi + 1;
+        for (int k = 0; k < (int)intervals_[nc].size(); ++k) {
+          auto [lo_n, hi_n] = intervals_[nc][k];
+          if (lo_n > a_hi || hi_n < a_lo) continue;
+          int t2 = std::max(a_lo, lo_n);
+          const int t2_max = std::min(a_hi, hi_n);
+          // bump past sparse swap conflicts (each committed agent
+          // contributes at most one per transition time)
+          while (t2 <= t2_max &&
+                 forbidden_.count(Constraints::ekey(t2 - 1, cx, cy, nx, ny)))
+            ++t2;
+          if (t2 > t2_max) continue;
+          const uint64_t key = skey(nc, k);
+          auto it = best.find(key);
+          if (it != best.end() && nodes[it->second].t <= t2) continue;
+          const int nid = (int)nodes.size();
+          nodes.push_back({nc, k, t2,
+                           manhattan({nx, ny}, goal), id});
+          best[key] = nid;
+          open.push({t2 + nodes[nid].h, t2, nid});
+        }
+      }
+    }
+    return {};
+  }
+
+ private:
+  int cell(std::pair<int, int> p) const { return p.first * prob_.h + p.second; }
+  static int manhattan(std::pair<int, int> a, std::pair<int, int> b) {
+    return std::abs(a.first - b.first) + std::abs(a.second - b.second);
+  }
+  int interval_at(int c, int t) const {
+    for (int k = 0; k < (int)intervals_[c].size(); ++k)
+      if (intervals_[c][k].first <= t && t <= intervals_[c][k].second) return k;
+    return -1;
+  }
+  template <typename Nodes>
+  Path reconstruct(const Nodes& nodes, int id) const {
+    // walk parents; materialize waits between parent arrival and departure
+    std::vector<std::pair<int, int>> cells;
+    std::vector<int> times;
+    for (; id >= 0; id = nodes[id].parent) {
+      cells.push_back({nodes[id].c / prob_.h, nodes[id].c % prob_.h});
+      times.push_back(nodes[id].t);
+    }
+    std::reverse(cells.begin(), cells.end());
+    std::reverse(times.begin(), times.end());
+    Path out;
+    for (size_t i = 0; i < cells.size(); ++i) {
+      // wait at previous cell until one step before this arrival
+      while ((int)out.size() < times[i]) out.push_back(out.back());
+      out.push_back(cells[i]);
+    }
+    return out;
+  }
+
+  const Problem& prob_;
+  std::vector<std::vector<std::pair<int, int>>> intervals_;  // per cell
+  std::unordered_set<uint64_t> forbidden_;  // swap transitions
+};
+
 // ------------------------------------------------- prioritized SIPP
-// Plans agents one at a time in index order; each agent avoids the committed
-// paths of earlier agents (treated as moving obstacles that finally park at
-// their goals forever). Uses the time-expanded A* with dynamic-obstacle
-// checks (equivalent search space to SIPP on these short horizons).
-inline std::vector<Path> solve_prioritized(const Problem& prob) {
+// Plans agents one at a time in index order; each agent runs a true SIPP
+// search against the committed paths of earlier agents (capability match
+// for the reference's `mapf_prioritized_sipp` binary). Incomplete by
+// nature (a bad ordering can block later agents) — that is reference
+// behavior, reported as INFEASIBLE.
+inline std::vector<Path> solve_prioritized(const Problem& prob,
+                                           Status* status = nullptr,
+                                           Deadline deadline = {}) {
   size_t n = prob.starts.size();
   std::vector<Path> committed;
   std::vector<Path> result(n);
   for (size_t i = 0; i < n; ++i) {
-    // Build constraints from committed paths: occupied cells & swaps.
-    int horizon = prob.w * prob.h * 2;
-    for (const auto& p : committed) horizon = std::max(horizon, 2 * (int)p.size());
-    Constraints cons;
-    for (const auto& p : committed) {
-      for (int t = 0; t <= horizon; ++t) {
-        auto c = at_time(p, t);
-        cons.vertex.insert(Constraints::vkey(t, c.first, c.second));
-        if (t > 0) {
-          auto prev = at_time(p, t - 1);
-          if (prev != c)  // swap constraint: entering prev while it moves to c
-            cons.edge.insert(
-                Constraints::ekey(t - 1, c.first, c.second, prev.first, prev.second));
-        }
-      }
+    Sipp sipp(prob, committed);
+    Status st = Status::INFEASIBLE;
+    auto path = sipp.plan((int)i, &st, deadline);
+    if (path.empty()) {
+      if (status) *status = st;
+      return {};
     }
-    LowLevel ll(prob, (int)i, cons, nullptr, 1.0);
-    auto res = ll.run();
-    if (!res.ok) return {};
-    result[i] = res.path;
-    committed.push_back(res.path);
+    result[i] = path;
+    committed.push_back(path);
   }
+  if (status) *status = Status::OK;
   return result;
 }
 
-// ------------------------------------------------- single-agent shortest path
-inline std::vector<Path> solve_single(const Problem& prob) {
-  Constraints none;
+// ------------------------------------------------- single-agent SIPP
+// Per-agent unconstrained shortest path (the reference's standalone `sipp`
+// binary utility): SIPP with no dynamic obstacles degenerates to A*.
+inline std::vector<Path> solve_single(const Problem& prob,
+                                      Status* status = nullptr) {
+  Sipp sipp(prob, {});
   std::vector<Path> result;
   for (size_t i = 0; i < prob.starts.size(); ++i) {
-    LowLevel ll(prob, (int)i, none, nullptr, 1.0);
-    auto res = ll.run();
-    if (!res.ok) return {};
-    result.push_back(res.path);
+    auto path = sipp.plan((int)i, status);
+    if (path.empty()) return {};
+    result.push_back(path);
   }
+  if (status) *status = Status::OK;
   return result;
 }
 
