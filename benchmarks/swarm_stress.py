@@ -116,6 +116,11 @@ def main() -> int:
         rounds = np.asarray(out.shield_rounds)
         return {"path": path, "seconds": dt,
                 "agent_steps_per_s": n * steps / dt,
+                # self-describing timing protocol (records from before r4b
+                # used min-of-reps and blocked on .paths only; cross-round
+                # comparisons need the record to say which statistic it is)
+                "protocol": "median-of-reps, block on full output tree",
+                "reps": args.reps,
                 "shield_rounds_max": int(rounds.max()),
                 "shield_rounds_mean": float(rounds.mean())}
 

@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference semantics)")
     p.add_argument("--tta", action="store_true", default=None,
                    help="D4 test-time ensembling during rollout eval")
+    p.add_argument("--tensorboard", action="store_true", default=None,
+                   help="mirror scalar metrics to a TensorBoard event "
+                        "stream under the experiment dir (reference "
+                        "behavior; JSONL stays the source of truth)")
     p.add_argument("--log_anime", action="store_true", default=None,
                    help="export rollout YAML/GSO artifact sets in --mode test "
                         "(reference log_anime flow)")
@@ -165,7 +169,7 @@ def main(argv=None) -> int:
         validate_every=cfg.validate_every, comm_radius=cfg.commR,
         rate_maxstep=cfg.rate_maxstep, num_valid_rollouts=cfg.num_validset,
         seed=cfg.seed, augment=cfg.data_augment, tta=cfg.tta,
-        deadlock_break=cfg.deadlock_break)
+        deadlock_break=cfg.deadlock_break, tensorboard=cfg.tensorboard)
     model = DCPNet(DCPConfig(num_taps=cfg.nGraphFilterTaps))
 
     if cfg.mode == "train":

@@ -171,11 +171,13 @@ def render_fov(grid: jax.Array, pos: jax.Array, goal: jax.Array,
       occupancy_pos: positions marked on the other-agents channel; defaults
         to ``pos``. Under agent partitioning pass the all-gathered global
         positions here while rendering only the local shard's agents.
-      occupancy_mode: ``"auto"`` (default — pairwise below
-        ``_PAIRWISE_MAX_PAIRS`` window-occupant pairs, grid above),
-        ``"pairwise"``, or ``"grid"``. Both modes are bit-identical; the
-        grid mode exists because the pairwise [N, M, 9] operands outgrow
-        HBM at swarm scale (N = M >= 16384).
+      occupancy_mode: ``"auto"`` (default — pairwise while N*M stays under
+        ``_PAIRWISE_MAX_PAIRS`` = 1e8 window-occupant pairs, i.e. up to
+        N = M ~ 10000; grid above), ``"pairwise"``, or ``"grid"``. Both
+        modes are bit-identical; the grid mode exists because the pairwise
+        [N, M, 9] operands grow O(N*M) and are observed to exhaust HBM
+        from N = M = 16384 (the auto cut switches earlier, where grid
+        already measures faster).
 
     Returns:
       ``[N, 3, 11, 11]`` float32 observations, channels

@@ -165,3 +165,35 @@ class MetricsLogger:
             name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
                             for p in path)
             self.log_histogram(f"params/{name}", step, leaf)
+
+    def export_scalars_json(self, out_path: str | Path | None = None) -> Path:
+        """Finalize-time scalar export: {tag: [[wall_time, step, value],...]}
+        rebuilt from the JSONL stream — the reference's
+        ``export_scalars_to_json("all_scalars.json")`` at agent finalize
+        (agents/decentralplannerlocal.py:661). Works whether or not the TB
+        writer was enabled (the JSONL stream is the source of truth)."""
+        out_path = Path(out_path) if out_path else (
+            self.path.parent / "all_scalars.json")
+        scalars: dict[str, list] = {}
+        if self.path.exists():
+            with open(self.path) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    kind, step = rec.get("kind", ""), rec.get("step", 0)
+                    wall = rec.get("time", 0.0)
+                    for k, v in rec.items():
+                        if k in ("kind", "step", "time"):
+                            continue
+                        if isinstance(v, (int, float)) and not isinstance(v, bool):
+                            scalars.setdefault(f"{kind}/{k}", []).append(
+                                [wall, step, v])
+        with open(out_path, "w") as f:
+            json.dump(scalars, f)
+        return out_path
+
+    def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()

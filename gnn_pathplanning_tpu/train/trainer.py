@@ -65,6 +65,11 @@ class TrainConfig:
     # Decentralized stall escape in rollouts (env/simulator.py rollout_batch
     # deadlock_break=...) — framework-native; 0 = reference semantics.
     deadlock_break: int = 0
+    # Mirror scalar metrics to a TensorBoard event stream under
+    # exp_dir/tb (the reference always writes TB scalars,
+    # agents/decentralplannerlocal.py:105,326; finalize also exports
+    # all_scalars.json, :661).
+    tensorboard: bool = False
 
 
 def cosine_lr(cfg: TrainConfig, epoch) -> jax.Array:
@@ -192,7 +197,8 @@ class Trainer:
         self.train_step = make_train_step(model, self.optimizer,
                                           augment=cfg.augment, seed=cfg.seed)
         self.eval_step = make_eval_step(model)
-        self.logger = MetricsLogger(self.exp_dir / "metrics.jsonl")
+        self.logger = MetricsLogger(self.exp_dir / "metrics.jsonl",
+                                    tensorboard=cfg.tensorboard)
         self.rng = np.random.RandomState(cfg.seed)
         self.best_reach_rate = -1.0
         # Extra member states for test-time policy ensembling (averaged
@@ -398,4 +404,8 @@ class Trainer:
             self.logger.log("epoch_done", epoch, loss=loss,
                             seconds=time.time() - t0,
                             rate_ReachGoal=reach if reach is not None else -1)
+        # finalize semantics (reference agent.finalize,
+        # decentralplannerlocal.py:651-667): scalar JSON export + TB close
+        self.logger.export_scalars_json()
+        self.logger.close()
         return last_summary

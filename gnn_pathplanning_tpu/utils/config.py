@@ -66,6 +66,9 @@ DEFAULTS = Config(
     log_anime=False,
     best_epoch=False,
     test_epoch=0,
+    # TensorBoard scalar export alongside the JSONL stream (the reference
+    # always writes TB, agents/decentralplannerlocal.py:105,326)
+    tensorboard=False,
 )
 
 

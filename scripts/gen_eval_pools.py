@@ -39,6 +39,13 @@ if __name__ == "__main__":
     gen(40, 40, 40, {"test": (20, 10)})
     gen(40, 40, 64, {"test": (4, 5)})
     gen(40, 40, 64, {"test": (4, 5)}, map_type="random")
+    # Statistically meaningful 64-agent pools (r4 verdict: a target row
+    # cannot rest on n=20). Same seed + protocol, 40 maps x 5 cases: the
+    # map/case stream is drawn sequentially from seed 1337, so the official
+    # 20-case pool is exactly the first-4-maps PREFIX of this 200-case pool
+    # ("test_big" split; report official line on both, with binomial CIs).
+    gen(40, 40, 64, {"test_big": (40, 5)})
+    gen(40, 40, 64, {"test_big": (40, 5)}, map_type="random")
     # In-dist selection pool (seed 424242, same as gen_round2_data.py).
     gen(20, 20, 10, {"valid2": (30, 20)}, seed=424242)
     # Held-out generalization valid2 pools (seed 515151, maps disjoint

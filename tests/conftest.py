@@ -30,6 +30,18 @@ def rng():
 
 
 def pytest_configure(config):
+    # In `-m tpu` mode the suite must see the REAL device: switch the
+    # platform list to "axon,cpu" (axon default for computation, CPU kept
+    # for in-process oracles) BEFORE the backend initializes. This runs
+    # the TPU tests in-process — the old child-subprocess fixture could
+    # not start on this rig (the spawned child's axon registration
+    # conflicts with the running session's libtpu args, ROUND4.md).
+    if "tpu" in (config.option.markexpr or ""):
+        try:
+            jax.config.update("jax_platforms", "axon,cpu")
+            os.environ.pop("JAX_PLATFORMS", None)
+        except Exception:
+            pass  # no axon plugin: tests will skip on device discovery
     config.addinivalue_line(
         "markers",
         "tpu: opt-in real-TPU validation (run with `pytest -m tpu`); "

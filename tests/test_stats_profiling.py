@@ -112,6 +112,38 @@ def test_metrics_rich_summaries(tmp_path):
     off.log_histogram("x", 0, rng.randn(8))
 
 
+def test_metrics_scalar_tb_and_finalize_export(tmp_path):
+    """Reference observability parity (decentralplannerlocal.py:326,661):
+    scalar metrics mirror to a readable TensorBoard event stream and the
+    finalize export rebuilds {tag: [[wall, step, value], ...]} JSON from
+    the JSONL source of truth."""
+    import json
+    from gnn_pathplanning_tpu.train.metrics import MetricsLogger
+
+    logger = MetricsLogger(tmp_path / "m.jsonl", tensorboard=True)
+    for e in range(3):
+        logger.log("train_epoch", e, loss=1.0 / (e + 1), lr=1e-3)
+    logger.log("valid_rollout", 2, rate_ReachGoal=0.5,
+               list_reachGoal=[0, 1])  # non-scalars must be skipped
+    out = logger.export_scalars_json()
+    logger.close()
+
+    scalars = json.loads(out.read_text())
+    assert len(scalars["train_epoch/loss"]) == 3
+    assert scalars["train_epoch/loss"][0][1] == 0         # step
+    assert scalars["train_epoch/loss"][2][2] == 1.0 / 3   # value
+    assert "valid_rollout/rate_ReachGoal" in scalars
+    assert "valid_rollout/list_reachGoal" not in scalars
+
+    if logger._tb is not None:
+        from tensorboard.backend.event_processing.event_accumulator import (
+            EventAccumulator)
+        acc = EventAccumulator(str(tmp_path / "tb"))
+        acc.Reload()
+        assert "train_epoch/loss" in acc.Tags()["scalars"]
+        assert len(acc.Scalars("train_epoch/loss")) == 3
+
+
 def test_multi_config_archive_roundtrip(tmp_path):
     """stats.archive: per-leg statistics .mat files aggregate into ONE keyed
     archive (the reference's test_summary shape, utils/metrics.py:204-288),
