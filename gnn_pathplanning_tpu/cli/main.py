@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated per-pool comm radii for "
                         "--oe_gen_pools (default 6 each; the 64-agent "
                         "regime uses 11 per the reference protocol)")
+    p.add_argument("--oe_gen_algos", type=str, default=None,
+                   help="comma-separated per-pool expert algorithms for "
+                        "--oe_gen_pools: ecbs (adaptive) or prioritized "
+                        "(pure SIPP; ~100x faster on congested 64-agent "
+                        "harvests)")
     p.add_argument("--oe_gen_weight", type=float, default=4.0,
                    help="MixedDataset epoch-share weight of each gen-regime "
                         "failure cache (default 4)")
@@ -85,6 +90,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--test_epoch", type=int, default=None)
     p.add_argument("--test_checkpoint", type=str, default=None,
                    help="explicit checkpoint path for --mode test")
+    p.add_argument("--test_split", type=str, default="test",
+                   help="dataset split dir evaluated by --mode test "
+                        "(e.g. test_big — the 200-case 64-agent pools)")
     p.add_argument("--ensemble_checkpoints", type=str, default=None,
                    help="comma-separated extra checkpoints whose action "
                         "distributions are averaged with --test_checkpoint "
@@ -137,8 +145,9 @@ def main(argv=None) -> int:
                               "num_maps", "cases_per_map", "solver",
                               "workers", "log_time_trained",
                               "oe_gen_pools", "oe_gen_rollouts",
-                              "oe_gen_commR", "oe_gen_weight",
-                              "oe_gen_timeout")}
+                              "oe_gen_commR", "oe_gen_algos",
+                              "oe_gen_weight", "oe_gen_timeout",
+                              "test_split")}
     cfg = load_config(args.config, overrides)
     np.random.seed(cfg.seed)
 
@@ -208,15 +217,19 @@ def main(argv=None) -> int:
                             if args.oe_gen_rollouts else [256] * len(dirs))
                 radii = ([float(r) for r in args.oe_gen_commR.split(",")]
                          if args.oe_gen_commR else [6.0] * len(dirs))
-                if len(rollouts) != len(dirs) or len(radii) != len(dirs):
-                    log.error("--oe_gen_rollouts/--oe_gen_commR must match "
-                              "--oe_gen_pools")
+                algos = ([a.strip() for a in args.oe_gen_algos.split(",")]
+                         if args.oe_gen_algos else ["ecbs"] * len(dirs))
+                if len(rollouts) != len(dirs) or len(radii) != len(dirs) \
+                        or len(algos) != len(dirs):
+                    log.error("--oe_gen_rollouts/--oe_gen_commR/"
+                              "--oe_gen_algos must match --oe_gen_pools")
                     return 1
                 gen_pools = [GenPool(train_dir=d, num_rollouts=r,
-                                     comm_radius=cr,
+                                     comm_radius=cr, algo=al,
                                      weight=args.oe_gen_weight,
                                      timeout=args.oe_gen_timeout)
-                             for d, r, cr in zip(dirs, rollouts, radii)]
+                             for d, r, cr, al in zip(dirs, rollouts, radii,
+                                                     algos)]
                 log.info("gen-regime OE harvest pools: %s",
                          [(g.train_dir, g.num_rollouts) for g in gen_pools])
             trainer = OnlineExpertTrainer(
@@ -241,7 +254,7 @@ def main(argv=None) -> int:
         return 0
 
     if cfg.mode == "test":
-        test_set = load_split(f"{cfg.dataset_root}/test",
+        test_set = load_split(f"{cfg.dataset_root}/{args.test_split}",
                               limit=cfg.num_testset)
         trainer = Trainer(model, tcfg, cfg.exp_dir, valid_set=test_set)
         which = "best" if cfg.best_epoch else "latest"
@@ -273,10 +286,11 @@ def main(argv=None) -> int:
                     num_agents=cfg.num_agents, K=cfg.nGraphFilterTaps,
                     commRadius=cfg.commR, num_testset=cfg.num_testset,
                     deadlock_break=cfg.deadlock_break or 0)
+        split_tag = "" if args.test_split == "test" else f"_{args.test_split}"
         save_statistics_mat(
             _Path(cfg.result_statistics_dir) /
             f"statistics_{cfg.map_w}x{cfg.map_h}_{cfg.num_agents}Agent"
-            f"_K{cfg.nGraphFilterTaps}.mat", summary, meta)
+            f"_K{cfg.nGraphFilterTaps}{split_tag}.mat", summary, meta)
         if cfg.log_anime:
             n_exported = trainer.export_rollouts(
                 test_set, cfg.result_AnimeDemo_dir,

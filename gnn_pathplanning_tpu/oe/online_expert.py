@@ -52,6 +52,11 @@ class GenPool:
     comm_radius: float = 6.0       # reference protocol: commR 6 at 28/40
     weight: float = 4.0            # MixedDataset epoch-share multiplier
     timeout: float = 60.0          # per-case expert budget
+    # "ecbs" (adaptive-w + prioritized fallback) or "prioritized" (pure
+    # SIPP — ~100x faster on congested 64-agent residual problems, at
+    # slightly suboptimal supervision; epoch-0 measurement: ECBS-adaptive
+    # needed ~20 min for one 128-case 40x40/64 harvest, SIPP seconds)
+    algo: str = "ecbs"
 
 
 @dataclasses.dataclass
@@ -110,20 +115,21 @@ def harvest_failures(rollout, cases, counts: dict | None = None) -> CasePool:
 
 class OnlineExpert:
     def __init__(self, cache_dir: str | Path, cfg: OnlineExpertConfig,
-                 timeout: float | None = None, comm_radius: float | None = None):
+                 timeout: float | None = None, comm_radius: float | None = None,
+                 algo: str = "ecbs"):
         self.cache_dir = Path(cache_dir)
         self.cfg = cfg
         self.comm_radius = (cfg.comm_radius if comm_radius is None
                             else comm_radius)
         kw = {}
-        if cfg.adaptive:
+        if cfg.adaptive and algo == "ecbs":
             # unbounded HL expansions (time-bounded only) + w escalation +
             # SIPP fallback: no silent give-ups biasing the cache toward
             # easy cases (r4 verdict missing #3)
             kw = dict(adaptive_w=True, max_expansions=0,
                       fallback="prioritized")
         self.solver = ExpertSolver(
-            algo="ecbs", w=1.1,
+            algo=algo, w=1.1,
             timeout=cfg.timeout if timeout is None else timeout,
             workers=cfg.workers, **kw)
 
@@ -179,7 +185,7 @@ class OnlineExpertTrainer(Trainer):
             self.gen_experts.append(
                 OnlineExpert(self.exp_dir / f"failure_cache_gen{i}",
                              self.oe_cfg, timeout=gp.timeout,
-                             comm_radius=gp.comm_radius))
+                             comm_radius=gp.comm_radius, algo=gp.algo))
             self.gen_sets.append(load_split(gp.train_dir))
         # Resume support: failure caches from earlier epochs must re-enter
         # the training set immediately, not only after the next harvest
