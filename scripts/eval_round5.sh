@@ -51,3 +51,24 @@ python -m gnn_pathplanning_tpu.cli.main --mode test --test_checkpoint "$CKPT" \
 python -m gnn_pathplanning_tpu.cli.main --mode test --test_checkpoint "$CKPT" \
     --map_w 40 --map_h 40 --num_agents 64 --commR 11 --num_testset 200 \
     --test_split test_big --map_type random "${COMMON[@]}" "$@"
+
+# Framework-native opt-in: decentralized deadlock-break (k=3, chosen on
+# valid2). Reported SEPARATELY from the reference-semantics lines above.
+if [ "${EVAL_DLB:-0}" = "1" ]; then
+python -m gnn_pathplanning_tpu.cli.main configs/dcp_onlineExpert.json \
+    --mode test --test_checkpoint "$CKPT" --num_testset 4440 \
+    --deadlock_break 3 "${COMMON[@]}" "$@"
+python -m gnn_pathplanning_tpu.cli.main --mode test --test_checkpoint "$CKPT" \
+    --map_w 28 --map_h 28 --num_agents 20 --num_testset 500 \
+    --deadlock_break 3 "${COMMON[@]}" "$@"
+python -m gnn_pathplanning_tpu.cli.main --mode test --test_checkpoint "$CKPT" \
+    --map_w 40 --map_h 40 --num_agents 40 --num_testset 200 \
+    --deadlock_break 3 "${COMMON[@]}" "$@"
+python -m gnn_pathplanning_tpu.cli.main --mode test --test_checkpoint "$CKPT" \
+    --map_w 40 --map_h 40 --num_agents 64 --commR 11 --num_testset 200 \
+    --test_split test_big --deadlock_break 3 "${COMMON[@]}" "$@"
+python -m gnn_pathplanning_tpu.cli.main --mode test --test_checkpoint "$CKPT" \
+    --map_w 40 --map_h 40 --num_agents 64 --commR 11 --num_testset 200 \
+    --test_split test_big --map_type random --deadlock_break 3 \
+    "${COMMON[@]}" "$@"
+fi
