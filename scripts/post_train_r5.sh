@@ -13,7 +13,12 @@ cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 
 while kill -0 "$PID" 2>/dev/null; do sleep 30; done
-echo "training pid $PID exited at $(date -u)"
+# The watchdog may have relaunched training under a NEW pid — keep waiting
+# while any live process carries this experiment's timestamp (wait-only;
+# never used for killing).
+TS=$(basename "$EXP")
+while pgrep -f "log_time_trained $TS" >/dev/null 2>&1; do sleep 30; done
+echo "training for ts=$TS exited at $(date -u)"
 
 echo "=== BASELINE RE-MEASURE (idle host, best-of-6) ==="
 sleep 420  # let the 5-min load average decay below the 1.0 idle gate
