@@ -141,8 +141,10 @@ def main():
             for path, gpool in gen_sets:
                 gm = trainer.validate_rollout(
                     gpool, limit=gpool.num_cases,
-                    label=f"{row['name']}@{Path(path).parts[-3]}")
-                key = f"rate@{Path(path).parts[-3]}"
+                    label=f"{row['name']}@{'/'.join(Path(path).parts[-3:-1])}")
+                # include the agent-count dir: two pools of the same
+                # map family (40x40 40ag vs 64ag) must not share a key
+                key = f"rate@{'/'.join(Path(path).parts[-3:-1])}"
                 row[key] = gm["rate_ReachGoal"]
                 rates.append(gm["rate_ReachGoal"])
             row["mean_rate_all_pools"] = float(np.mean(rates))
