@@ -39,15 +39,19 @@ def _cpu_device():
 
 
 @contextlib.contextmanager
-def _on(device):
-    # Numerical comparisons want f32 semantics, not the default bf16 MXU
-    # passthrough, on both backends.
-    with jax.default_device(device), \
-            jax.default_matmul_precision("highest"):
+def _on(device, precision=None):
+    # ``precision="highest"`` forces f32 semantics for DENSE XLA matmuls
+    # (the default TPU precision truncates inputs to bf16). Do NOT apply
+    # it around the Pallas kernels: they manage their own precision (the
+    # split-dot issues bf16 MXU passes by design) and Mosaic rejects
+    # bf16 operands under a HIGHEST override ("Bad lhs type").
+    ctx = (jax.default_matmul_precision(precision) if precision
+           else contextlib.nullcontext())
+    with jax.default_device(device), ctx:
         yield
 
 
-def _both(fn, *args):
+def _both(fn, *args, precision=None):
     """Run ``fn`` jitted on the TPU and on the in-process CPU backend;
     return (tpu_result, cpu_result) as numpy arrays."""
     dev = _tpu_device()
@@ -55,7 +59,7 @@ def _both(fn, *args):
         pytest.skip("no non-CPU jax platform available in-process")
     outs = []
     for d in (dev, _cpu_device()):
-        with _on(d):
+        with _on(d, precision):
             args_d = jax.tree.map(
                 lambda a: jax.device_put(a, d) if hasattr(a, "dtype") else a,
                 args)
@@ -104,7 +108,8 @@ def test_dense_graph_filter_matches_cpu():
     w = rng.randn(k, g, f).astype(np.float32) * 0.3
     bias = rng.randn(f).astype(np.float32) * 0.3
     got, want = _both(graph_filter, jnp.asarray(x), jnp.asarray(s),
-                      jnp.asarray(w), jnp.asarray(bias))
+                      jnp.asarray(w), jnp.asarray(bias),
+                      precision="highest")
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
@@ -297,6 +302,6 @@ def test_forward_canary_b4440_argmax():
     got, want = _both(
         lambda o, s: jnp.argmax(dcp.apply(dcp_vars_np, o, s, train=False),
                                 -1),
-        obs_np, gso_np)
+        obs_np, gso_np, precision="highest")
     agreement = (got == want).mean()
     assert agreement >= 0.995, f"TPU/CPU argmax agreement {agreement:.4f}"
