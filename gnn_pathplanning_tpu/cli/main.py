@@ -285,6 +285,7 @@ def main(argv=None) -> int:
         meta = dict(exp_net=cfg.exp_net, map_w=cfg.map_w, map_h=cfg.map_h,
                     num_agents=cfg.num_agents, K=cfg.nGraphFilterTaps,
                     commRadius=cfg.commR, num_testset=cfg.num_testset,
+                    map_type=cfg.map_type, test_split=args.test_split,
                     deadlock_break=cfg.deadlock_break or 0)
         split_tag = "" if args.test_split == "test" else f"_{args.test_split}"
         save_statistics_mat(

@@ -50,12 +50,21 @@ def load_leg_mat(path: str | Path) -> dict:
 
 
 def leg_key(rec: dict) -> str:
-    """Reference-style configuration key: ``TE_M{W}x{H}_{N}Agent_K{K}_comR{r}``
-    (+ ``_dlb{k}`` for the framework-native deadlock-break legs)."""
-    key = (f"TE_M{int(rec.get('map_w', 0))}x{int(rec.get('map_h', 0))}"
+    """Reference-style configuration key:
+    ``TE_{M|R}{W}x{H}_{N}Agent_K{K}_comR{r}`` — M = maze maps, R = the
+    BMAP "random" family (the reference keys its archives per map set too)
+    — plus ``_{split}`` for non-default eval splits (e.g. the 200-case
+    ``test_big`` pools) and ``_dlb{k}`` for the framework-native
+    deadlock-break legs. Absent metadata degrades to the old key so
+    pre-round-5 statistics files keep their identities."""
+    fam = "R" if str(rec.get("map_type", "map")) == "random" else "M"
+    key = (f"TE_{fam}{int(rec.get('map_w', 0))}x{int(rec.get('map_h', 0))}"
            f"_{int(rec.get('num_agents', 0))}Agent"
            f"_K{int(rec.get('K', 0))}"
            f"_comR{int(rec.get('commRadius', 0))}")
+    split = str(rec.get("test_split", "test") or "test")
+    if split != "test":
+        key += f"_{split}"
     dlb = int(rec.get("deadlock_break", 0) or 0)
     if dlb:
         key += f"_dlb{dlb}"
@@ -75,6 +84,18 @@ def collect_statistics(save_root: str | Path) -> dict[str, dict]:
         if "rate_ReachGoal" not in rec:
             continue
         rec["source"] = str(path)
+        # Legs written before round 5 lack map_type/test_split metadata —
+        # recover both from the path (exp dir carries the map family, the
+        # filename carries the split tag) so maze/random and test/test_big
+        # legs of the same shape don't collide on one key.
+        if "map_type" not in rec and any(
+                "_random" in part for part in path.parts):
+            rec["map_type"] = "random"
+        if "test_split" not in rec:
+            stem_tail = path.stem.split(f"_K{int(rec.get('K', 0))}")[-1]
+            tag = stem_tail.lstrip("_")
+            if tag and not tag.startswith("dlb"):
+                rec["test_split"] = tag
         key = leg_key(rec)
         mtime = path.stat().st_mtime
         if key not in newest or mtime > newest[key][0]:
