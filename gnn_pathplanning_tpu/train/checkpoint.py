@@ -38,7 +38,11 @@ def save_checkpoint(ckpt_dir: str | Path, state, epoch: int,
     if is_best:
         targets.append(ckpt_dir / BEST)
     for t in targets:
-        t.write_bytes(blob)
+        # tmp + atomic rename: a kill mid-write (tunnel-stall watchdogs do
+        # this) must never leave a truncated checkpoint at the final name
+        tmp = t.with_suffix(t.suffix + ".tmp")
+        tmp.write_bytes(blob)
+        tmp.replace(t)
         _meta_path(t).write_text(json.dumps(meta))
 
 
