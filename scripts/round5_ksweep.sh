@@ -7,11 +7,28 @@
 # comparison between Ks is the target, not each leg's absolute ceiling;
 # budget recorded in the archive) and evaluate each on the official pools.
 # Usage: scripts/round5_ksweep.sh [epochs] [testset]
+#
+# Budget actually run (round 5): 16 epochs over a dedicated 3,960-case
+# 20x20/10 train set (data_ksweep, seed 888001 — a fresh stream so sweep
+# train maps are disjoint from every official 1337 eval pool), lr/batch
+# from configs/dcp_ECBS.json, no OE. Evaluation on the official data2
+# pools. The K ordering is the target, not each leg's absolute ceiling.
 set -eu
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 EPOCHS="${1:-16}"
 TESTSET="${2:-1110}"
+
+# Dedicated small train root (generated if absent).
+if [ ! -d data_ksweep/map20x20_density_p1/10_Agent/train ]; then
+  python - <<'EOF'
+from gnn_pathplanning_tpu.data.cases import generate_dataset
+print(generate_dataset("data_ksweep", map_w=20, map_h=20, num_agents=10,
+                       density_label=1,
+                       splits={"train": (100, 40), "valid": (10, 20)},
+                       algo="ecbs", workers=2, seed=888001))
+EOF
+fi
 
 # Isolated save root so the Fig-5 archive sees ONLY the equal-budget
 # sweep legs (the flagship K=3 in experiments_r2 has a far larger budget
@@ -24,7 +41,7 @@ for K in 1 2 3; do
   echo "=== K=$K leg at ts=$TS (epochs=$EPOCHS) ==="
   timeout 7200 python -m gnn_pathplanning_tpu.cli.main \
       configs/dcp_ECBS.json --mode train \
-      --data_root data2 --save_root experiments_ksweep \
+      --data_root data_ksweep --save_root experiments_ksweep \
       --nGraphFilterTaps "$K" --max_epoch "$EPOCHS" \
       --log_time_trained "$TS" --seed 1337 \
       2>&1 | grep -v WARNING | tail -2

@@ -100,8 +100,21 @@ while true; do
   done
   log "tunnel healthy; resuming: ${RESUME[*]}"
   setsid nohup "${RESUME[@]}" >> /tmp/watchdog_train.log 2>&1 &
+  LAUNCH=$!
   sleep 5
-  PID=$(pgrep -n -f "gnn_pathplanning_tpu.cli.main.*--mode train" || echo 0)
+  # Resolve the trainer pid from the process we just launched, NOT a global
+  # pgrep: in round 5 `pgrep -n -f` twice latched onto a transient pid,
+  # declared the healthy trainer dead 2 min later and relaunched, producing
+  # CONCURRENT trainers writing the same experiment dir. setsid either execs
+  # the command in place (pid preserved) or, if it had to fork, the trainer
+  # is its direct child — both cases resolve from $LAUNCH.
+  if tr '\0' ' ' < "/proc/$LAUNCH/cmdline" 2>/dev/null \
+      | grep -q -- "--mode train"; then
+    PID=$LAUNCH
+  else
+    PID=$(pgrep -P "$LAUNCH" | head -1)
+    [ -n "$PID" ] || PID=0
+  fi
   log "resumed as pid $PID"
   sleep 120
 done
