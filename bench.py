@@ -40,15 +40,29 @@ def get_baseline() -> float:
     is re-measured only when the host is idle NOW (the script itself refuses
     at loadavg > 1.0); otherwise the committed idle-host number is kept and
     the staleness is reported on stderr rather than silently re-measured
-    under load — that failure mode understated torch 2.3x in round 3."""
+    under load — that failure mode understated torch 2.3x in round 3.
+
+    Staleness is CONTENT-based (sha256 of torch_baseline.py recorded in the
+    cache), not mtime-based: a fresh git checkout resets both mtimes in
+    arbitrary order, and in round 5 that re-triggered a re-measure minutes
+    after a training sweep (loadavg 0.985 slipped under the old 1.0 gate,
+    best-of-3 measured 1059 vs the true idle 1908.8 — understating torch
+    1.8x). The idle gate is now 0.5 on both loadavg windows."""
+    import hashlib
     import os
     cache = REPO / "benchmarks" / "baseline_torch.json"
     script = REPO / "benchmarks" / "torch_baseline.py"
-    stale = (not cache.exists()
-             or cache.stat().st_mtime < script.stat().st_mtime)
+    script_sha = hashlib.sha256(script.read_bytes()).hexdigest()
+    stale = True
+    if cache.exists():
+        try:
+            stale = (json.loads(cache.read_text())
+                     .get("script_sha256") != script_sha)
+        except Exception:
+            pass
     if stale:
-        if max(os.getloadavg()[:2]) > 1.0 and cache.exists():
-            print("bench.py: baseline cache stale but host is loaded; "
+        if max(os.getloadavg()[:2]) > 0.5 and cache.exists():
+            print("bench.py: baseline cache stale but host is not idle; "
                   "keeping committed idle-host baseline", file=sys.stderr)
         else:
             subprocess.run([sys.executable, str(script)],

@@ -197,16 +197,19 @@ if __name__ == "__main__":
     # overwrite the cache from a loaded host unless forced.
     load1, load5, _ = os.getloadavg()
     forced = os.environ.get("BASELINE_FORCE") == "1"
-    if max(load1, load5) > 1.0 and not forced:
+    if max(load1, load5) > 0.5 and not forced:
         raise SystemExit(
             f"refusing to measure baseline at loadavg {load1:.2f}/{load5:.2f} "
-            "(> 1.0 on this 2-core rig understates torch); set "
-            "BASELINE_FORCE=1 to override")
-    # Best-of-3: single-run variance on this host is ~20% (1498-1839 observed
-    # on an idle host); taking the fastest run is maximally fair to torch and
-    # gives the most conservative vs_baseline ratio.
-    rates = [measure() for _ in range(int(os.environ.get("BASELINE_RUNS", 3)))]
+            "(> 0.5 on this 2-core rig understates torch — 0.985 let a "
+            "post-sweep re-measure through in round 5, understating 1.8x); "
+            "set BASELINE_FORCE=1 to override")
+    # Best-of-6 (ADVICE r4: never weaker than the strongest prior protocol):
+    # single-run variance on this host is ~20% (1498-1839 observed idle);
+    # taking the fastest run is maximally fair to torch and gives the most
+    # conservative vs_baseline ratio.
+    rates = [measure() for _ in range(int(os.environ.get("BASELINE_RUNS", 6)))]
     rate = max(rates)
+    import hashlib
     out = {"agent_steps_per_s": rate, "host": "cpu-torch",
            "config": "DCP-K3 N=10 20x20 reference-style loop",
            "runs_agent_steps_per_s": [round(r, 1) for r in rates],
@@ -214,7 +217,11 @@ if __name__ == "__main__":
            "loadavg_1m_before": round(load1, 3),
            "loadavg_5m_before": round(load5, 3),
            "measured_at_unix": int(time.time()),
-           "forced_under_load": forced}
+           "forced_under_load": forced,
+           # Content hash consumed by bench.py's staleness check (mtime
+           # comparison re-triggered on every fresh checkout).
+           "script_sha256": hashlib.sha256(
+               Path(__file__).read_bytes()).hexdigest()}
     path = Path(__file__).parent / "baseline_torch.json"
     path.write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
